@@ -87,6 +87,10 @@ class RadiusArclengthTrack:
 
     @staticmethod
     def _compute_key_pts(cl_segs: np.ndarray, init_pos) -> np.ndarray:
+        # Pure-numpy host-side construction: no device dispatch at track-build time.
+        def np_wrap(t):
+            return t + 2 * np.pi if t < -np.pi else (t - 2 * np.pi if t > np.pi else t)
+
         n_segs = cl_segs.shape[0]
         kp = np.zeros((n_segs + 1, 6))
         kp[0, 0:3] = init_pos
@@ -105,7 +109,7 @@ class RadiusArclengthTrack:
                 x = xc + r * np.sin(psi0 + theta)
                 y = yc - r * np.cos(psi0 + theta)
                 curv = 1.0 / r
-                psi = float(wrap_angle(psi0 + theta))
+                psi = np_wrap(psi0 + theta)
             kp[i] = [x, y, psi, cum0 + l, l, curv]
         return kp
 
@@ -190,7 +194,8 @@ class RadiusArclengthTrack:
         computed in parallel and the first valid one selected — branch-free and vmap-able.
         """
         xy_coord = jnp.asarray(xy_coord)
-        x, y, psi = xy_coord[..., 0], xy_coord[..., 1], xy_coord[..., 2]
+        x, y = xy_coord[..., 0], xy_coord[..., 1]
+        psi = xy_coord[..., 2][..., None]                        # (..., 1) — broadcast vs segments
         pos = jnp.stack([x, y], axis=-1)[..., None, :]           # (..., 1, 2)
 
         kp = self._kp
