@@ -1,0 +1,103 @@
+"""QP kernel tests: analytic solutions, KKT residuals, batching, dual correctness."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgsqp_tpu.solvers.qp import solve_qp, solve_qp_batch
+
+
+def _rand_qp(rng, n, m, active_frac=0.5):
+    """Generate a QP with known solution via its KKT conditions."""
+    M_ = rng.standard_normal((n, n))
+    Q = M_ @ M_.T + n * np.eye(n)
+    x_star = rng.standard_normal(n)
+    A = rng.standard_normal((m, n))
+    # choose an active set small enough that LICQ holds (unique duals)
+    n_act = min(int(m * active_frac), n - 2)
+    act = np.zeros(m, dtype=bool)
+    act[rng.choice(m, size=n_act, replace=False)] = True
+    lam_star = np.where(act, rng.random(m) + 0.1, 0.0)
+    slack = np.where(act, 0.0, rng.random(m) + 0.1)
+    b = A @ x_star + slack
+    q = -(Q @ x_star + A.T @ lam_star)
+    return Q, q, A, b, x_star, lam_star
+
+
+def test_unconstrained():
+    rng = np.random.default_rng(0)
+    n = 8
+    M_ = rng.standard_normal((n, n))
+    Q = M_ @ M_.T + n * np.eye(n)
+    q = rng.standard_normal(n)
+    sol = solve_qp(jnp.asarray(Q), jnp.asarray(q), jnp.zeros((0, n)), jnp.zeros((0,)))
+    np.testing.assert_allclose(np.asarray(sol.x), np.linalg.solve(Q, -q), atol=1e-8)
+
+
+def test_simple_box():
+    # min 1/2 x^2 - 2x s.t. x <= 1  -> x* = 1, lam* = -(x*-2) = 1
+    Q = jnp.array([[1.0]])
+    q = jnp.array([-2.0])
+    A = jnp.array([[1.0]])
+    b = jnp.array([1.0])
+    sol = solve_qp(Q, q, A, b)
+    assert bool(sol.ok)
+    np.testing.assert_allclose(float(sol.x[0]), 1.0, atol=1e-7)
+    np.testing.assert_allclose(float(sol.lam[0]), 1.0, atol=1e-6)
+
+
+def test_random_qps_match_kkt_solution():
+    rng = np.random.default_rng(1)
+    for i in range(10):
+        n, m = 20, 35
+        Q, q, A, b, x_star, lam_star = _rand_qp(rng, n, m)
+        sol = solve_qp(jnp.asarray(Q), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b))
+        assert bool(sol.ok), f'instance {i} failed, res={float(sol.res)}'
+        np.testing.assert_allclose(np.asarray(sol.x), x_star, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sol.lam), lam_star, atol=2e-4)
+
+
+def test_batched():
+    rng = np.random.default_rng(2)
+    B, n, m = 16, 12, 20
+    Qs, qs, As, bs, xs, lams = [], [], [], [], [], []
+    for _ in range(B):
+        Q, q, A, b, x_star, lam_star = _rand_qp(rng, n, m)
+        Qs.append(Q); qs.append(q); As.append(A); bs.append(b); xs.append(x_star); lams.append(lam_star)
+    sol = solve_qp_batch(jnp.asarray(np.stack(Qs)), jnp.asarray(np.stack(qs)),
+                         jnp.asarray(np.stack(As)), jnp.asarray(np.stack(bs)))
+    assert bool(jnp.all(sol.ok))
+    np.testing.assert_allclose(np.asarray(sol.x), np.stack(xs), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sol.lam), np.stack(lams), atol=2e-4)
+
+
+def test_infeasible_start_negative_b():
+    # x = 0 infeasible (b < 0): min 1/2 x'x s.t. -x <= -1 (i.e. x >= 1)
+    Q = jnp.eye(2)
+    q = jnp.zeros(2)
+    A = -jnp.eye(2)
+    b = -jnp.ones(2)
+    sol = solve_qp(Q, q, A, b)
+    assert bool(sol.ok)
+    np.testing.assert_allclose(np.asarray(sol.x), np.ones(2), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sol.lam), np.ones(2), atol=1e-6)
+
+
+def test_degenerate_redundant_rows():
+    # duplicated constraints (rank-deficient A) still solve
+    Q = jnp.eye(2)
+    q = jnp.array([-1.0, -1.0])
+    A = jnp.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    b = jnp.array([0.5, 0.5, 0.5])
+    sol = solve_qp(Q, q, A, b)
+    assert bool(sol.ok)
+    np.testing.assert_allclose(np.asarray(sol.x), [0.5, 0.5], atol=1e-6)
+    # dual split across duplicated rows must still sum to the true multiplier
+    np.testing.assert_allclose(float(sol.lam[0] + sol.lam[1]), 0.5, atol=1e-5)
+
+
+def test_float32_convergence():
+    rng = np.random.default_rng(3)
+    Q, q, A, b, x_star, lam_star = _rand_qp(rng, 16, 24)
+    sol = solve_qp(jnp.asarray(Q, jnp.float32), jnp.asarray(q, jnp.float32),
+                   jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32), tol=1e-6)
+    np.testing.assert_allclose(np.asarray(sol.x), x_star, atol=1e-3)
