@@ -1,0 +1,203 @@
+"""Solver parameter dataclasses.
+
+Mirrors the reference config surface (``/root/reference/DGSQP/solvers/solver_types.py:7-256``)
+field-for-field where meaningful; CasADi/codegen-specific knobs (``qp_interface``,
+``code_gen``, ``jit``, ``opt_flag``, ``solver_dir`` ...) are retained as accepted-but-inert
+fields so reference scripts port unchanged.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from dgsqp_tpu.types import PythonMsg
+
+
+@dataclass
+class ControllerConfig(PythonMsg):
+    dt: float = 0.1
+
+
+@dataclass
+class PIDParams(ControllerConfig):
+    Kp: float = 2.0
+    Ki: float = 0.0
+    Kd: float = 0.0
+    int_e_max: float = 100.0
+    int_e_min: float = -100.0
+    u_max: Optional[float] = None
+    u_min: Optional[float] = None
+    du_max: Optional[float] = None
+    du_min: Optional[float] = None
+    u_ref: float = 0.0
+    x_ref: float = 0.0
+    noise: bool = False
+    noise_max: float = 0.1
+    noise_min: float = -0.1
+    periodic_disturbance: bool = False
+    disturbance_amplitude: float = 0.1
+    disturbance_period: float = 1.0
+
+    def default_speed_params(self):
+        self.Kp, self.Ki, self.Kd = 1.0, 0.0, 0.0
+        self.u_min, self.u_max = -2.0, 2.0
+        self.du_min, self.du_max = -10 * self.dt, 10 * self.dt
+        self.noise = False
+
+    def default_steer_params(self):
+        self.Kp, self.Ki, self.Kd = 1.0, 0.0005 / self.dt, 0.0
+        self.u_min, self.u_max = -0.35, 0.35
+        self.du_min, self.du_max = -4 * self.dt, 4 * self.dt
+        self.noise = False
+
+
+@dataclass
+class DGSQPParams(ControllerConfig):
+    N: int = 10
+
+    beta: float = 0.25           # Armijo slope fraction
+    tau: float = 0.5             # backtracking factor
+
+    p_tol: float = 1e-3
+    d_tol: float = 1e-3
+
+    reg: float = 1e-3
+    line_search_iters: int = 50
+    nonmono_ls: bool = False
+    sqp_iters: int = 50
+    merit_function: str = 'stat_l1'
+
+    verbose: bool = False
+    save_iter_data: bool = True
+
+    solver_name: str = 'DGSQP'
+    time_limit: Optional[float] = None
+    qp_interface: str = 'jax'            # inert (single TPU-native QP backend)
+    qp_solver: str = 'ipm'               # inert
+    conv_approx: bool = True
+    hessian_approximation: str = 'none'
+
+    code_gen: bool = False               # inert
+    jit: bool = False                    # inert
+    opt_flag: str = 'O0'                 # inert
+    enable_jacobians: bool = True        # inert
+    solver_dir: Optional[str] = None     # inert
+    so_name: Optional[str] = None        # inert
+    debug_plot: bool = False
+    pause_on_plot: bool = False
+    local_pos: bool = False
+
+    # TPU-native extensions
+    qp_tol: float = 1e-8
+    qp_max_iters: int = 50
+
+
+@dataclass
+class DGSQPV2Params(DGSQPParams):
+    """Journal-algorithm (v2) parameters (reference ``solver_types.py`` DGSQPV2Params)."""
+    delta: float = 1.0                  # d-step trust quantity
+    gamma: float = 2.0                  # delta growth factor
+    reg_decay: float = 0.95
+    nms: bool = True
+    nms_frequency: int = 10
+    nms_memory_size: int = 10
+    merit_parameter: Optional[float] = None   # None => adaptive
+    merit_decrease_condition: str = 'armijo'  # or 'max'
+    cost_setpoint_method: str = 'max'
+
+
+@dataclass
+class ALGAMESParams(ControllerConfig):
+    N: int = 10
+
+    rho: float = 1.0
+    gamma: float = 10.0
+    rho_max: float = 1e7
+    lam_max: float = 1e7
+
+    beta: float = 0.25
+    tau: float = 0.5
+
+    q_reg: float = 1e-2
+    u_reg: float = 1e-2
+    line_search_tol: float = 1e-6
+    newton_step_tol: float = 1e-6
+    ineq_tol: float = 1e-3
+    eq_tol: float = 1e-3
+    opt_tol: float = 1e-3
+
+    dynamics_hessians: bool = False
+
+    outer_iters: int = 50
+    line_search_iters: int = 50
+    newton_iters: int = 50
+
+    verbose: bool = False
+    solver_name: str = 'ALGAMES'
+
+    debug: bool = False
+    debug_plot: bool = False
+    pause_on_plot: bool = False
+    local_pos: bool = False
+
+
+@dataclass
+class IBRParams(ControllerConfig):
+    N: int = 10
+    ibr_iters: int = 1
+    use_ps: bool = False
+    p_tol: float = 1e-3
+    d_tol: float = 1e-3
+    line_search_iters: int = 50
+    verbose: bool = False
+    solver_name: str = 'IBR'
+    debug_plot: bool = False
+    pause_on_plot: bool = False
+    # inner best-response SQP controls
+    br_sqp_iters: int = 50
+    br_reg: float = 1e-3
+
+
+@dataclass
+class PATHMCPParams(ControllerConfig):
+    """Parameters for the semismooth-Newton MCP baseline (stands in for Julia PATH;
+    reference ``solver_types.py`` PATHMCPParams)."""
+    N: int = 10
+    max_iters: int = 200
+    tol: float = 1e-8
+    verbose: bool = False
+    solver_name: str = 'MCP'
+    line_search_iters: int = 40
+    beta: float = 1e-4
+    tau: float = 0.5
+    reg: float = 1e-8
+
+
+@dataclass
+class CALTVMPCParams(ControllerConfig):
+    N: int = 10
+    qp_iters: int = 2
+    damping: float = 0.75
+
+    state_scaling: Optional[list] = None
+    input_scaling: Optional[list] = None
+
+    soft_state_bound_idxs: Optional[list] = None
+    soft_state_bound_quad: Optional[list] = None
+    soft_state_bound_lin: Optional[list] = None
+
+    soft_constraint_idxs: Optional[list] = None
+    soft_constraint_quad: Optional[list] = None
+    soft_constraint_lin: Optional[list] = None
+
+    wrapped_state_idxs: Optional[list] = None
+    wrapped_state_periods: Optional[list] = None
+
+    delay: Optional[list] = None
+    time_varying: bool = False
+
+    verbose: bool = False
+    solver_name: str = 'CA_LTV_MPC'
+    qp_interface: str = 'jax'  # inert
+    debug_plot: bool = False
+    pause_on_plot: bool = False

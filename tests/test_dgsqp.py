@@ -1,0 +1,143 @@
+"""DGSQP solver tests: analytic LQ-game oracle, KKT certification, symmetry, batching."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgsqp_tpu.dynamics import IntegratorModel, DynamicsConfig, MultiAgentDynamicsModel
+from dgsqp_tpu.solvers.dgsqp import DGSQP, CONV_ABS, CONV_REL
+from dgsqp_tpu.solvers.solver_types import DGSQPParams
+from dgsqp_tpu.types import VehicleState
+
+N = 5
+DT = 0.1
+
+
+def _integrator_game(gamma=0.2, u_lim=50.0, coupled_constraint=False, w_term=1.0):
+    m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+    def stage(x, u, um):
+        return 0.5 * u[0] ** 2
+
+    def term_0(x):
+        return 0.5 * w_term * (x[0] - 1.0) ** 2 + gamma * x[0] * x[1]
+
+    def term_1(x):
+        return 0.5 * w_term * (x[1] - 1.0) ** 2 + gamma * x[0] * x[1]
+
+    shared = None
+    if coupled_constraint:
+        def sh(x, u, um):
+            return jnp.array([x[0] + x[1] - 1.0])   # combined progress cap
+
+        def sh_term(x):
+            return jnp.array([x[0] + x[1] - 1.0])
+        shared = [None] + [sh] * (N - 1) + [sh_term]
+
+    ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = u_lim
+    lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -u_lim
+    bounds = {'ub': [ub, ub], 'lb': [lb, lb]}
+
+    params = DGSQPParams(N=N, dt=DT, reg=0.0, p_tol=1e-8, d_tol=1e-8,
+                         sqp_iters=50, nonmono_ls=False, verbose=False)
+    return DGSQP(joint, [(stage, term_0), (stage, term_1)], [None, None], shared,
+                 bounds, params, print_method=None)
+
+
+def test_lq_game_matches_linear_solve():
+    """Unconstrained LQ game: the KKT stationarity map is affine, so the open-loop Nash
+    equilibrium solves one linear system.  DGSQP must land on it."""
+    solver = _integrator_game(gamma=0.2)
+    x0 = jnp.array([0.0, 0.0])
+    up = jnp.zeros(2)
+    # affine stationarity: F(u) = A u + b
+    u_zero = jnp.zeros(2 * N)
+    b = solver.problem.stationarity(u_zero, jnp.zeros(solver.n_c), x0, up)
+    A = jax.jacfwd(lambda uu: solver.problem.stationarity(uu, jnp.zeros(solver.n_c), x0, up))(u_zero)
+    u_star = np.linalg.solve(np.asarray(A), -np.asarray(b))
+
+    st1, st2 = VehicleState(), VehicleState()
+    st1.v.v_long = 0.0; st2.v.v_long = 0.0
+    info = solver.solve([st1, st2])
+    assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
+    np.testing.assert_allclose(info['u_sol'], u_star, atol=1e-6)
+
+
+def test_constrained_game_kkt_certificate():
+    """With an active coupled constraint the returned point must satisfy the GNE KKT
+    conditions: stationarity, primal feasibility, complementarity."""
+    solver = _integrator_game(gamma=0.0, coupled_constraint=True, w_term=100.0)
+    st1, st2 = VehicleState(), VehicleState()
+    st1.v.v_long = 0.0; st2.v.v_long = 0.0
+    info = solver.solve([st1, st2])
+    assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
+    assert info['cond']['p_feas'] < 1e-6
+    assert info['cond']['comp'] < 1e-6
+    assert info['cond']['stat'] < 1e-6
+    # the shared constraint x0+x1 <= 1 must bind (both agents want x=1)
+    x0 = jnp.array([0.0, 0.0])
+    xf = np.asarray(solver.problem.rollout(jnp.asarray(info['u_sol']), x0))[-1]
+    assert xf[0] + xf[1] <= 1.0 + 1e-6
+    assert xf[0] + xf[1] > 0.9  # constraint approximately active
+
+
+def test_symmetric_game_symmetric_solution():
+    solver = _integrator_game(gamma=0.3, coupled_constraint=True, w_term=100.0)
+    st1, st2 = VehicleState(), VehicleState()
+    st1.v.v_long = 0.0; st2.v.v_long = 0.0
+    info = solver.solve([st1, st2])
+    u = info['u_sol']
+    np.testing.assert_allclose(u[:N], u[N:], atol=1e-5)
+
+
+def test_active_input_bound():
+    solver = _integrator_game(gamma=0.0, u_lim=0.05, w_term=100.0)
+    st1, st2 = VehicleState(), VehicleState()
+    info = solver.solve([st1, st2])
+    assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
+    assert np.max(np.abs(info['u_sol'])) <= 0.05 + 1e-7
+
+
+def test_batched_solve_matches_individual():
+    solver = _integrator_game(gamma=0.2, coupled_constraint=True)
+    up = jnp.zeros(2)
+    rng = np.random.default_rng(0)
+    B = 4
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 2)))
+    u0 = jnp.zeros((B, 2 * N))
+    l0 = jnp.zeros((B, solver.n_c))
+    ups = jnp.zeros((B, 2))
+    res_b = solver._solve_batch_jit(u0, l0, x0s, ups, None)
+    for i in range(B):
+        res_i = solver._solve_jit(u0[i], l0[i], x0s[i], up, None)
+        assert int(res_b.status[i]) == int(res_i.status)
+        np.testing.assert_allclose(np.asarray(res_b.u[i]), np.asarray(res_i.u), atol=1e-7)
+
+
+def test_watchdog_mode_runs():
+    """nonmono_ls=True (the flagship configuration) must still converge."""
+    m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+    def stage(x, u, um):
+        return 0.5 * u[0] ** 2
+
+    def term_0(x):
+        return 0.5 * (x[0] - 1.0) ** 2 + 0.5 * jnp.tanh(x[0] - x[1])
+
+    def term_1(x):
+        return 0.5 * (x[1] - 1.0) ** 2 + 0.5 * jnp.tanh(x[1] - x[0])
+
+    ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+    lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+    params = DGSQPParams(N=N, dt=DT, reg=1e-3, p_tol=1e-6, d_tol=1e-6,
+                         sqp_iters=50, nonmono_ls=True, beta=0.01, tau=0.5)
+    solver = DGSQP(joint, [(stage, term_0), (stage, term_1)], [None, None], None,
+                   {'ub': [ub, ub], 'lb': [lb, lb]}, params, print_method=None)
+    st1, st2 = VehicleState(), VehicleState()
+    info = solver.solve([st1, st2])
+    assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
+    assert info['cond']['stat'] < 1e-6
