@@ -1,0 +1,97 @@
+"""Batched PID warm starts, JAX-native.
+
+The reference warm-starts every Monte-Carlo trial by rolling PID lane-followers through the
+plant model with exact integration and stacking the resulting input sequences
+(``DGSQP_ALGAMES_monte_carlo_chicane.py:409-467``, ``comparison_study_barc/warm_start.py``).
+Here the same PID + rollout is a pure jnp ``lax.scan`` — jit-able and vmap-able over thousands
+of initial conditions at once, replacing the per-trial Python loops.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pid_rollout(model, q0, v_ref, lat_ref, N: int, dt: float,
+                u_abs, u_rate, steer_ki: float = 0.005, n_sub: int = 10):
+    """Roll one agent's PID lane follower for N steps.
+
+    Matches the reference controllers (``..._chicane.py:411-437``): speed PID with Kp=1 on
+    ``v - v_ref``; steering PID with Kp=1, Ki=steer_ki on ``5*(x_tran - lat_ref) + e_psi``;
+    per-step rate clamps then absolute clamps.  The model is advanced with fine RK4 substeps
+    (the reference integrates with solve_ivp).
+
+    Args:
+        model: dynamics model exposing ``fc(q, u)`` with state containing
+               (v, e_psi, x_tran) at the indices given by its marshalling
+               (kinematic bicycle combined: v=2, e_psi=3, x_tran=5).
+        q0: (n_q,) initial state.
+        u_abs: (2,) absolute input limits [u_a_max, u_steer_max].
+        u_rate: (2,) per-second rate limits (clamped as-is per step, matching the script's
+               PIDParams which pass the raw rate bound as du_max).
+    Returns:
+        (u_seq (N, 2), q_seq (N+1, n_q))
+    """
+    V_IDX, EPSI_IDX, EY_IDX = 2, 3, 5
+    h = dt / n_sub
+
+    def rk4_step(q, u):
+        def sub(qq, _):
+            a1 = model.fc(qq, u)
+            a2 = model.fc(qq + (h / 2) * a1, u)
+            a3 = model.fc(qq + (h / 2) * a2, u)
+            a4 = model.fc(qq + h * a3, u)
+            return qq + h * (a1 + 2 * a2 + 2 * a3 + a4) / 6, None
+        out, _ = jax.lax.scan(sub, q, None, length=n_sub)
+        return out
+
+    def step(carry, _):
+        q, e_st, ei_st, ua_prev, us_prev = carry
+        # speed PID (Kp=1)
+        ua = -(q[V_IDX] - v_ref)
+        dua = jnp.clip(ua - ua_prev, -u_rate[0], u_rate[0])
+        ua = jnp.clip(ua_prev + dua, -u_abs[0], u_abs[0])
+        # steering PID (Kp=1, Ki)
+        err = 5.0 * (q[EY_IDX] - lat_ref) + q[EPSI_IDX]
+        ei = jnp.clip(ei_st + err * dt, -100.0, 100.0)
+        us = -(err + steer_ki * ei)
+        dus = jnp.clip(us - us_prev, -u_rate[1], u_rate[1])
+        us = jnp.clip(us_prev + dus, -u_abs[1], u_abs[1])
+        u = jnp.array([ua, us])
+        q_next = rk4_step(q, u)
+        return (q_next, err, ei, ua, us), (u, q_next)
+
+    init = (q0, jnp.asarray(0.0, q0.dtype), jnp.asarray(0.0, q0.dtype),
+            jnp.asarray(0.0, q0.dtype), jnp.asarray(0.0, q0.dtype))
+    _, (u_seq, q_seq) = jax.lax.scan(step, init, None, length=N)
+    q_all = jnp.concatenate([q0[None], q_seq], axis=0)
+    return u_seq, q_all
+
+
+def duel_warm_start(scenario, q0_joint, v_refs, lat_refs):
+    """Warm-start both agents of a racing duel from a joint initial state.
+
+    Returns (u_ws stage-ordered (N, n_u), q_ws (N+1, n_q), collision flag) where collision
+    uses the reference's check: any-step global xy distance below ``obs_d``
+    (``..._chicane.py:38-43``).
+    """
+    models = scenario.joint_model.dynamics_models
+    n_qs = scenario.joint_model.num_qa_d
+    off = 0
+    u_list, q_list = [], []
+    for a, m in enumerate(models):
+        q0 = q0_joint[off:off + n_qs[a]]
+        u_seq, q_seq = pid_rollout(m, q0, v_refs[a], lat_refs[a], scenario.N, scenario.dt,
+                                   jnp.asarray(scenario.input_ub),
+                                   jnp.asarray(scenario.input_rate_ub))
+        u_list.append(u_seq)
+        q_list.append(q_seq)
+        off += n_qs[a]
+    u_ws = jnp.concatenate(u_list, axis=1)
+    q_ws = jnp.concatenate(q_list, axis=1)
+    d = jnp.linalg.norm(q_list[0][:, 0:2] - q_list[1][:, 0:2], axis=1)
+    collision = jnp.any(d < scenario.obs_d)
+    return u_ws, q_ws, collision
