@@ -33,6 +33,12 @@ def main():
         batch = min(batch, 8)
         jax.config.update('jax_enable_x64', False)
 
+    # All eager/setup computation stays on host CPU — under the axon tunnel every eager op
+    # is a network round trip; only the jitted batch solve should touch the TPU.
+    cpu = jax.devices('cpu')[0]
+    accel = jax.devices()[0]
+    jax.config.update('jax_default_device', cpu)
+
     from dgsqp_tpu.harness.scenarios import build_chicane_scenario
     from dgsqp_tpu.harness.samplers import sample_duel_initial_conditions
     from dgsqp_tpu.solvers.dgsqp import DGSQP, CONV_ABS, CONV_REL
@@ -55,6 +61,9 @@ def main():
     up = jnp.zeros((batch, sc.joint_model.n_u), dtype)
     l0 = jax.jit(jax.vmap(lambda u, x, p: solver.problem.dual_warm_start(u, x, p)))(
         u0, x0, up)
+
+    # explicit accelerator placement for the hot path
+    u0, l0, x0, up = (jax.device_put(a, accel) for a in (u0, l0, x0, up))
 
     # warm-up / compile
     t0 = time.time()
