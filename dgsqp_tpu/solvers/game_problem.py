@@ -324,6 +324,24 @@ class GameProblem:
         Q = jax.jacfwd(lambda uu: self.stationarity(uu, l, x0, u_prev, P))(u_flat)
         return Q, q, G, g, x
 
+    def constraint_indices_for_agent(self, a: int) -> np.ndarray:
+        """Row indices of the constraints entering agent a's best-response problem:
+        shared rows + agent-a rows (incl. its box rows) at every stage.
+
+        Mirrors the reference's ``Cbr_v_idxs`` bookkeeping (``DGSQP.py:806-821``).
+        """
+        idxs = []
+        off = 0
+        for k in range(self.N + 1):
+            idxs.append(np.arange(off, off + self.n_cs[k]))
+            a_off = off + self.n_cs[k]
+            for b in range(self.M):
+                if b == a:
+                    idxs.append(np.arange(a_off, a_off + self.n_ca[b][k]))
+                a_off += self.n_ca[b][k]
+            off += self.n_c[k]
+        return np.concatenate(idxs).astype(int)
+
     def dual_warm_start(self, u_flat, x0, u_prev, P=None):
         """Least-squares dual initialization l0 = max(0, -argmin_l ||G'l - q||)
         (reference ``DGSQP.py:320-324`` solves the same normal equations with sparse lsqr)."""

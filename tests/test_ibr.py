@@ -1,0 +1,61 @@
+"""IBR tests: best-response fixed point is a Nash equilibrium on the integrator game."""
+import numpy as np
+import jax.numpy as jnp
+
+from dgsqp_tpu.dynamics import IntegratorModel, DynamicsConfig, MultiAgentDynamicsModel
+from dgsqp_tpu.solvers.dgsqp import DGSQP
+from dgsqp_tpu.solvers.ibr import IBR
+from dgsqp_tpu.solvers.solver_types import DGSQPParams, IBRParams
+from dgsqp_tpu.types import VehicleState
+
+N = 5
+DT = 0.1
+
+
+def _game(gamma=0.1):
+    m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+    def stage(x, u, um):
+        return 0.5 * u[0] ** 2
+
+    def term_0(x):
+        return 50.0 * (x[0] - 0.5) ** 2 + gamma * x[0] * x[1]
+
+    def term_1(x):
+        return 50.0 * (x[1] - 0.5) ** 2 + gamma * x[0] * x[1]
+
+    ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+    lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+    bounds = {'ub': [ub, ub.copy()], 'lb': [lb, lb.copy()]}
+    costs = [(stage, term_0), (stage, term_1)]
+    return joint, costs, bounds
+
+
+def test_ibr_converges_to_nash():
+    joint, costs, bounds = _game()
+    ibr = IBR(joint, costs, [None, None], None, bounds,
+              IBRParams(N=N, dt=DT, ibr_iters=20, p_tol=1e-7, d_tol=1e-7),
+              print_method=None)
+    ibr.set_warm_start(np.zeros((N, 2)))
+    info = ibr.solve([VehicleState(), VehicleState()])
+    assert info['status'], info
+
+    joint2, costs2, bounds2 = _game()
+    sq = DGSQP(joint2, costs2, [None, None], None, bounds2,
+               DGSQPParams(N=N, dt=DT, reg=0.0, p_tol=1e-8, d_tol=1e-8),
+               print_method=None)
+    sq_info = sq.solve([VehicleState(), VehicleState()])
+    assert sq_info['status']
+    np.testing.assert_allclose(info['u_sol'], sq_info['u_sol'], atol=1e-4)
+
+
+def test_single_sweep_runs():
+    joint, costs, bounds = _game()
+    ibr = IBR(joint, costs, [None, None], None, bounds,
+              IBRParams(N=N, dt=DT, ibr_iters=1), print_method=None)
+    ibr.set_warm_start(np.zeros((N, 2)))
+    info = ibr.solve([VehicleState(), VehicleState()])
+    assert np.isfinite(info['u_sol']).all()
+    assert np.abs(info['u_sol']).max() > 0  # moved off the zero start
