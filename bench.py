@@ -26,6 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # TPU MXU matmuls default to bfloat16 inputs; the SQP's Jacobians/Hessians/KKT solves
+    # need full f32 accumulation or the merit machinery sees ~1e-2 noise.
+    jax.config.update('jax_default_matmul_precision', 'highest')
+
     platform = jax.devices()[0].platform
     on_tpu = platform != 'cpu'
     if not on_tpu:

@@ -82,14 +82,21 @@ def _merit_dphi(du, l, dl, s, Q, q, G, g, mu, use_l1: bool):
 
 
 def _get_mu(du, l, dl, s, Q, q, G, g, merit_function: str):
-    """Adaptive merit penalty (reference ``_get_mu``, ``DGSQP.py:559-585``)."""
+    """Adaptive merit penalty (reference ``_get_mu``, ``DGSQP.py:559-585``).
+
+    The reference compares the violation against an exact-zero threshold; in floating point
+    active constraints sit at +/- machine noise, which would produce an astronomically large
+    penalty (|d| / eps) that poisons the line search.  We therefore use a dtype-aware noise
+    floor below which the iterate counts as feasible (mu = 0).
+    """
     if merit_function == 'stat':
         return jnp.asarray(0.0, dtype=q.dtype)
     constr_vio = jnp.sum(g - s)
     d_stat = _merit_dphi(du, l, dl, s, Q, q, G, g, 0.0, use_l1=True)
     rho = 0.5
+    thresh = (1e-10 if q.dtype == jnp.float64 else 1e-5) * (1.0 + jnp.max(jnp.abs(g)))
     mu_pos = jnp.abs(d_stat) / ((1 - rho) * jnp.maximum(constr_vio, 1e-300))
-    return jnp.where(constr_vio > 0, mu_pos, 0.0)
+    return jnp.where(constr_vio > thresh, mu_pos, 0.0)
 
 
 class DGSQP:

@@ -1,0 +1,451 @@
+"""DGSQP v2: the 2024 journal algorithm with non-monotone (NMS) globalization.
+
+Re-implementation of ``/root/reference/DGSQP/solvers/DGSQP_v2.py:54-1319``.  Differences vs v1
+that this module reproduces:
+
+  * merit = 1/2 ||stacked Lagrangian gradient||^2 + mu * sum(max(0, g)) with the slack taken
+    as s = max(0, g) (v1 used s = min(0, g) and included the complementarity term;
+    reference ``DGSQP_v2.py:1143-1166``);
+  * symmetric Hessian ``(Q + Q')/2`` fed to the QP (``DGSQP_v2.py:1116``);
+  * regularization starts large (reg=1e2) and decays ``reg *= reg_decay`` on every m-step,
+    with checkpoint save/restore (``DGSQP_v2.py:563,593``);
+  * NMS step machine: cheap "d-steps" (accept the full SQP step while its norm is below a
+    trust quantity ``delta`` which shrinks by ``gamma`` per step) punctuated every
+    ``nms_frequency`` steps by "m-steps" that enforce merit decrease against the max of a
+    rolling merit memory, with watchdog rollback to the last checkpoint + line search on
+    failure (``DGSQP_v2.py:469-599``);
+  * QP failure recovery = m-step from the last checkpoint (``DGSQP_v2.py:432-464``);
+  * max-iteration budget counts m-steps only (``DGSQP_v2.py:407``).
+
+Execution model is the same lockstep jit/vmap design as v1 (see ``dgsqp.py``).
+"""
+from __future__ import annotations
+
+import time
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgsqp_tpu.solvers.dgsqp import RUNNING, CONV_ABS, CONV_REL, DIVERGED, QP_FAIL, MAX_IT, \
+    STATUS_MSG, SQPResult
+from dgsqp_tpu.solvers.game_problem import GameProblem
+from dgsqp_tpu.solvers.qp import solve_qp
+from dgsqp_tpu.solvers.solver_types import DGSQPV2Params
+from dgsqp_tpu.types import VehiclePrediction, VehicleState
+from dgsqp_tpu.utils.math import nearest_pd
+
+
+class _CarryV2(NamedTuple):
+    u: jnp.ndarray
+    l: jnp.ndarray
+    u_im1: jnp.ndarray
+    l_im1: jnp.ndarray
+    it: jnp.ndarray
+    m_it: jnp.ndarray
+    status: jnp.ndarray
+    rel_its: jnp.ndarray
+    qp_solves: jnp.ndarray
+    delta: jnp.ndarray
+    reg: jnp.ndarray
+    ck_counter: jnp.ndarray
+    # checkpoint payload (iterate + step + slack + merit parameter + trust/reg)
+    ck_u: jnp.ndarray
+    ck_l: jnp.ndarray
+    ck_du: jnp.ndarray
+    ck_dl: jnp.ndarray
+    ck_s: jnp.ndarray
+    ck_mu: jnp.ndarray
+    ck_delta: jnp.ndarray
+    ck_reg: jnp.ndarray
+    ck_valid: jnp.ndarray
+    # rolling merit memory
+    memory: jnp.ndarray
+    mem_ptr: jnp.ndarray
+    p_feas: jnp.ndarray
+    comp: jnp.ndarray
+    stat: jnp.ndarray
+
+
+class DGSQPV2:
+    """Host-facing v2 solver (constructor mirrors v1 / reference ``DGSQP_v2.py:55-64``)."""
+
+    def __init__(self, joint_dynamics, costs, agent_constraints, shared_constraints,
+                 bounds, params: DGSQPV2Params = None, print_method=print, xy_plot=None,
+                 use_mx: bool = False, dtype=None):
+        params = params or DGSQPV2Params()
+        self.params = params
+        self.joint_dynamics = joint_dynamics
+        self.M = joint_dynamics.n_a
+        self.N = params.N
+        self.print_method = (lambda s: None) if print_method is None else print_method
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+
+        self.problem = GameProblem(joint_dynamics, costs, agent_constraints,
+                                   shared_constraints, bounds, params.N, dtype=dtype)
+        self.n_u = self.problem.n_u
+        self.n_q = self.problem.n_q
+        self.n_c = self.problem.n_c_total
+        self.n_dec = self.problem.n_dec
+        self.num_ua_d = self.problem.num_ua_d
+
+        self.q_pred = np.zeros((self.N + 1, self.n_q))
+        self.u_pred = np.zeros((self.N, self.n_u))
+        self.l_pred = np.zeros(self.n_c)
+        self.u_ws = np.zeros(self.N * self.n_u)
+        self.l_ws = None
+        self.u_prev = np.zeros(self.n_u)
+        self.state_input_predictions = [VehiclePrediction() for _ in range(self.M)]
+
+        self._solve_jit = jax.jit(self._solve_core)
+        self._solve_batch_jit = jax.jit(jax.vmap(self._solve_core))
+        self.initialized = True
+
+    # ------------------------------------------------------------------ pieces
+    def _eval_full(self, u, l, x0, up, P):
+        Q, q, G, g, x = self.problem.evaluate(u, l, x0, up, P, hessian=True)
+        return 0.5 * (Q + Q.T), q, G, g   # v2 symmetrizes (DGSQP_v2.py:1116)
+
+    def _eval_lite(self, u, l, x0, up, P):
+        q, G, g, _ = self.problem.evaluate(u, l, x0, up, P, hessian=False)
+        return q, G, g
+
+    def _phi(self, l, s, q, G, g, mu, use_l1: bool):
+        """Merit: 1/2||q + G'l||^2 + mu*sum(s) (v2 stat drops the complementarity term;
+        reference ``DGSQP_v2.py:1143-1148``)."""
+        F = q + G.T @ l
+        val = 0.5 * jnp.dot(F, F)
+        if use_l1:
+            val = val + mu * jnp.sum(s)
+        return val
+
+    def _dphi(self, du, l, dl, s, Q, q, G, g, mu, use_l1: bool):
+        F = q + G.T @ l
+        d = jnp.dot(F, Q @ du + G.T @ dl)
+        if use_l1:
+            d = d - mu * jnp.sum(s)
+        return d
+
+    def _get_mu(self, du, l, dl, s, Q, q, G, g):
+        if self.params.merit_parameter is not None:
+            return jnp.asarray(self.params.merit_parameter, self.dtype)
+        d_c = self._dphi(du, l, dl, s, Q, q, G, g, 0.0, use_l1=True)
+        vio = jnp.sum(s)
+        rho = 0.5
+        # dtype-aware feasibility noise floor (see dgsqp._get_mu for rationale)
+        thresh = (1e-10 if self.dtype == jnp.float64 else 1e-5) * (1.0 + jnp.max(jnp.abs(g)))
+        mu = jnp.abs(d_c) / ((1 - rho) * jnp.maximum(vio, 1e-300))
+        return jnp.where(vio > thresh, mu, 0.0)
+
+    def _qp(self, Q, q, G, g, reg):
+        Qh = nearest_pd(Q) + reg * jnp.eye(self.n_dec, dtype=self.dtype)
+        sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol if hasattr(self.params, 'qp_tol')
+                       else 1e-8, max_iters=50)
+        return sol.x, sol.lam, sol.ok
+
+    def _line_search(self, enabled, u, du, l, dl, s, mu, mem_max, x0, up, P):
+        """v2 backtracking line search (reference ``DGSQP_v2.py:729-760``).
+
+        Returns (u_acc, l_acc, phi_acc_mu1) where phi is evaluated with mu=1 at the
+        accepted point (fed into the merit memory).
+        """
+        p = self.params
+        use_l1 = p.merit_function in ('stat_l1', 'sum_obj_l1')
+
+        if p.merit_decrease_condition == 'armijo':
+            Q0, q0, G0, g0 = self._eval_full(u, l, x0, up, P)
+            phi0 = self._phi(l, s, q0, G0, g0, mu, use_l1)
+            dphi0 = self._dphi(du, l, dl, jnp.maximum(0.0, g0), Q0, q0, G0, g0, mu, use_l1)
+
+            def ref(alpha):
+                return phi0 + p.merit_decrease * alpha * dphi0
+        else:  # 'max'
+            def ref(alpha):
+                return (1 - p.merit_decrease * alpha) * mem_max
+
+        def cond(c):
+            i, alpha, done, u_t, l_t, phi1_t = c
+            return (~done) & (i < p.line_search_iters)
+
+        def body(c):
+            i, alpha, done, u_t, l_t, phi1_t = c
+            u_try = u + alpha * du
+            l_try = l + alpha * dl
+            q_t, G_t, g_t = self._eval_lite(u_try, l_try, x0, up, P)
+            s_t = jnp.maximum(0.0, g_t)
+            phi_try = self._phi(l_try, s_t, q_t, G_t, g_t, mu, use_l1)
+            phi1_try = self._phi(l_try, s_t, q_t, G_t, g_t, jnp.asarray(1.0, self.dtype),
+                                 use_l1)
+            ok = phi_try <= ref(alpha)
+            u_n = jnp.where(done, u_t, u_try)
+            l_n = jnp.where(done, l_t, l_try)
+            phi1_n = jnp.where(done, phi1_t, phi1_try)
+            alpha_n = jnp.where(done | ok, alpha, alpha * p.tau)
+            return (i + 1, alpha_n, done | ok, u_n, l_n, phi1_n)
+
+        init = (jnp.asarray(0), jnp.asarray(1.0, self.dtype), ~enabled, u, l,
+                jnp.asarray(jnp.inf, self.dtype))
+        _, _, _, u_t, l_t, phi1 = jax.lax.while_loop(cond, body, init)
+        return u_t, l_t, phi1
+
+    # ----------------------------------------------------------------- core loop
+    def _solve_core(self, u0, l0, x0, up, P=None) -> SQPResult:
+        p = self.params
+        dtype = self.dtype
+        use_l1 = p.merit_function in ('stat_l1', 'sum_obj_l1')
+        xtol, ltol = p.p_tol, p.d_tol
+        rel_tol_req = 3
+        mem_size = p.nms_memory_size
+
+        # initial merit memory entry (reference DGSQP_v2.py:342-343)
+        q_i0, G_i0, g_i0 = self._eval_lite(u0, l0, x0, up, P)
+        phi0 = self._phi(l0, jnp.maximum(0.0, g_i0), q_i0, G_i0, g_i0,
+                         jnp.asarray(1.0, dtype), use_l1)
+        memory0 = jnp.full((mem_size,), -jnp.inf, dtype).at[0].set(phi0)
+
+        def mem_max(memory):
+            return jnp.max(memory)
+
+        def mem_push(memory, ptr, val):
+            ptr_n = (ptr + 1) % mem_size
+            return memory.at[ptr_n].set(val), ptr_n
+
+        def cond(c: _CarryV2):
+            return c.status == RUNNING
+
+        def body(c: _CarryV2) -> _CarryV2:
+            running = c.status == RUNNING
+
+            Q, q, G, g = self._eval_full(c.u, c.l, x0, up, P)
+            d = q + G.T @ c.l
+            p_feas = jnp.maximum(0.0, jnp.max(g))
+            comp = jnp.max(jnp.abs(g * c.l))
+            stat = jnp.max(jnp.abs(d))
+
+            diverged = stat > 1e10
+            converged = (p_feas < xtol) & (comp < ltol) & (stat < ltol)
+            max_it = c.m_it >= p.sqp_iters
+            finished = diverged | converged | max_it
+            keep_going = running & ~finished
+
+            du, lhat, qp_ok = self._qp(Q, q, G, g, c.reg)
+            dl = lhat - c.l
+
+            # initialize the trust quantity on the very first iteration
+            step_norm = jnp.linalg.norm(jnp.concatenate([du, dl]))
+            delta = jnp.where(c.it == 0, 20.0 * step_norm, c.delta)
+            ck_delta = jnp.where(c.it == 0, delta, c.ck_delta)
+
+            s = jnp.maximum(0.0, g)
+            ds = jnp.maximum(0.0, g + G @ du) - s
+            mu = self._get_mu(du, c.l, dl, s, Q, q, G, g)
+
+            if p.nms:
+                qp_fail_recover = ~qp_ok & c.ck_valid
+                m_step = (~qp_ok & c.ck_valid) | (qp_ok & ((c.ck_counter >= p.nms_frequency)
+                                                           | (step_norm >= delta)))
+                d_step = qp_ok & ~m_step
+            else:
+                qp_fail_recover = jnp.asarray(False)
+                m_step = jnp.asarray(False)
+                d_step = jnp.asarray(False)
+            plain_ls = qp_ok & ~m_step & ~d_step if not p.nms else jnp.asarray(False)
+            hard_qp_fail = ~qp_ok & (~c.ck_valid if p.nms else jnp.asarray(True))
+
+            # ---------- d-step: accept the full step, shrink delta
+            u_d = c.u + du
+            l_d = c.l + dl
+
+            # ---------- m-step
+            # On QP failure the reference first restores the checkpoint and then runs the
+            # m-step machinery from there (DGSQP_v2.py:432-464); otherwise the m-step acts
+            # on the current iterate and the fresh QP step.
+            src_u = jnp.where(qp_fail_recover, c.ck_u, c.u)
+            src_l = jnp.where(qp_fail_recover, c.ck_l, c.l)
+            src_du = jnp.where(qp_fail_recover, c.ck_du, du)
+            src_dl = jnp.where(qp_fail_recover, c.ck_dl, dl)
+            src_s = jnp.where(qp_fail_recover, c.ck_s, s)
+            src_mu = jnp.where(qp_fail_recover, c.ck_mu, mu)
+
+            # full-step trial against the non-monotone reference (DGSQP_v2.py:517-531)
+            u_full = src_u + src_du
+            l_full = src_l + src_dl
+            q_f, G_f, g_f = self._eval_lite(u_full, l_full, x0, up, P)
+            s_f = jnp.maximum(0.0, g_f)
+            phi_full = self._phi(l_full, s_f, q_f, G_f, g_f, jnp.asarray(1.0, dtype), use_l1)
+            R = (1 - p.merit_decrease) * mem_max(c.memory)
+            accept_full = m_step & (phi_full <= R)
+
+            # watchdog rollback source (reference load_checkpoint, DGSQP_v2.py:709-727)
+            rollback = m_step & ~accept_full & c.ck_valid
+            ls_u = jnp.where(rollback, c.ck_u, src_u)
+            ls_l = jnp.where(rollback, c.ck_l, src_l)
+            ls_du = jnp.where(rollback, c.ck_du, src_du)
+            ls_dl = jnp.where(rollback, c.ck_dl, src_dl)
+            ls_s = jnp.where(rollback, c.ck_s, src_s)
+            ls_mu = jnp.where(rollback, c.ck_mu, src_mu)
+            delta = jnp.where(rollback, c.ck_delta, delta)
+            reg = jnp.where(rollback, c.ck_reg, c.reg)
+
+            ls_enabled = (m_step & ~accept_full) | plain_ls
+            u_ls, l_ls, phi_ls = self._line_search(ls_enabled, ls_u, ls_du, ls_l, ls_dl,
+                                                   ls_s, ls_mu, mem_max(c.memory), x0, up, P)
+
+            # ---------- select the next iterate
+            u_n = jnp.where(d_step, u_d,
+                   jnp.where(accept_full, u_full,
+                    jnp.where(ls_enabled, u_ls, c.u)))
+            l_n = jnp.where(d_step, l_d,
+                   jnp.where(accept_full, l_full,
+                    jnp.where(ls_enabled, l_ls, c.l)))
+            u_n = jnp.where(keep_going, u_n, c.u)
+            l_n = jnp.where(keep_going, l_n, c.l)
+
+            # ---------- bookkeeping
+            mstep_done = keep_going & (m_step | plain_ls)
+            phi_new = jnp.where(accept_full, phi_full, phi_ls)
+
+            delta = jnp.where(keep_going & d_step, p.delta_decay * delta, delta)
+            ck_counter = jnp.where(keep_going & d_step, c.ck_counter + 1,
+                          jnp.where(mstep_done, 0, c.ck_counter))
+            reg = jnp.where(mstep_done, reg * p.reg_decay, reg)
+
+            memory, mem_ptr = mem_push(c.memory, c.mem_ptr, phi_new)
+            memory = jnp.where(mstep_done, memory, c.memory)
+            mem_ptr = jnp.where(mstep_done, mem_ptr, c.mem_ptr)
+
+            # new checkpoint after every m-step: the NEXT iteration's iterate+step become
+            # the checkpoint payload; we store the accepted point with the current step
+            # data (the reference stores iteration records and re-loads them).
+            set_ck = mstep_done
+            ck_u = jnp.where(set_ck, u_n, c.ck_u)
+            ck_l = jnp.where(set_ck, l_n, c.ck_l)
+            ck_du = jnp.where(set_ck, du, c.ck_du)
+            ck_dl = jnp.where(set_ck, dl, c.ck_dl)
+            ck_s = jnp.where(set_ck, s, c.ck_s)
+            ck_mu = jnp.where(set_ck, mu, c.ck_mu)
+            ck_delta2 = jnp.where(set_ck, delta, ck_delta)
+            ck_reg = jnp.where(set_ck, reg, c.ck_reg)
+            ck_valid = c.ck_valid | set_ck
+
+            # relative-tolerance convergence, only checked on m-steps (DGSQP_v2.py:576-599)
+            small = (jnp.linalg.norm(u_n - c.u_im1) < xtol) & \
+                    (jnp.linalg.norm(l_n - c.l_im1) < ltol)
+            rel_its = jnp.where(mstep_done & small, c.rel_its + 1,
+                       jnp.where(mstep_done, 0, c.rel_its))
+            conv_rel = mstep_done & (rel_its >= rel_tol_req) & (p_feas < xtol)
+            u_im1 = jnp.where(mstep_done, u_n, c.u_im1)
+            l_im1 = jnp.where(mstep_done, l_n, c.l_im1)
+
+            m_it = c.m_it + jnp.where(mstep_done, 1, 0)
+            it = c.it + jnp.where(keep_going, 1, 0)
+            qp_solves = c.qp_solves + jnp.where(keep_going, 1, 0)
+
+            new_status = jnp.where(converged, CONV_ABS,
+                          jnp.where(diverged, DIVERGED,
+                           jnp.where(max_it, MAX_IT,
+                            jnp.where(hard_qp_fail, QP_FAIL,
+                             jnp.where(conv_rel, CONV_REL, RUNNING)))))
+            status = jnp.where(running, new_status, c.status).astype(jnp.int32)
+
+            return _CarryV2(u_n, l_n, u_im1, l_im1, it, m_it, status,
+                            rel_its, qp_solves, delta, reg, ck_counter,
+                            ck_u, ck_l, ck_du, ck_dl, ck_s, ck_mu, ck_delta2, ck_reg,
+                            ck_valid, memory, mem_ptr,
+                            jnp.where(running, p_feas, c.p_feas),
+                            jnp.where(running, comp, c.comp),
+                            jnp.where(running, stat, c.stat))
+
+        z_u = jnp.asarray(u0, dtype)
+        z_l = jnp.asarray(l0, dtype)
+        init = _CarryV2(u=z_u, l=z_l, u_im1=z_u, l_im1=z_l,
+                        it=jnp.asarray(0), m_it=jnp.asarray(0),
+                        status=jnp.asarray(RUNNING, jnp.int32),
+                        rel_its=jnp.asarray(0), qp_solves=jnp.asarray(0),
+                        delta=jnp.asarray(jnp.inf, dtype),
+                        reg=jnp.asarray(p.reg, dtype),
+                        ck_counter=jnp.asarray(0),
+                        ck_u=z_u, ck_l=z_l, ck_du=jnp.zeros_like(z_u),
+                        ck_dl=jnp.zeros_like(z_l), ck_s=jnp.zeros_like(z_l),
+                        ck_mu=jnp.asarray(0.0, dtype),
+                        ck_delta=jnp.asarray(jnp.inf, dtype),
+                        ck_reg=jnp.asarray(p.reg, dtype),
+                        ck_valid=jnp.asarray(False),
+                        memory=memory0, mem_ptr=jnp.asarray(0),
+                        p_feas=jnp.asarray(jnp.inf, dtype),
+                        comp=jnp.asarray(jnp.inf, dtype),
+                        stat=jnp.asarray(jnp.inf, dtype))
+        c = jax.lax.while_loop(cond, body, init)
+
+        q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=False)
+        d = q + G.T @ c.l
+        p_feas = jnp.maximum(0.0, jnp.max(g))
+        comp = jnp.max(jnp.abs(g * c.l))
+        stat = jnp.max(jnp.abs(d))
+        return SQPResult(c.u, c.l, c.status, c.it, c.qp_solves, p_feas, comp, stat)
+
+    # ------------------------------------------------------------- host interface
+    def initialize(self):
+        pass
+
+    def set_warm_start(self, u_ws: np.ndarray, l_ws: Optional[np.ndarray] = None):
+        u_ws = np.asarray(u_ws)
+        if u_ws.shape != (self.N, self.n_u):
+            raise RuntimeError(f'Warm start shape {u_ws.shape} != {(self.N, self.n_u)}')
+        parts = []
+        off = 0
+        for a in range(self.M):
+            parts.append(u_ws[:, off:off + self.num_ua_d[a]].ravel())
+            off += self.num_ua_d[a]
+        self.u_ws = np.concatenate(parts)
+        self.l_ws = l_ws
+
+    def solve(self, states: List[VehicleState], parameters=None):
+        t_start = time.time()
+        x0 = jnp.asarray(self.joint_dynamics.state2q(states), self.dtype)
+        up = jnp.zeros(self.n_u, self.dtype)
+        u0 = jnp.asarray(self.u_ws, self.dtype)
+        if self.l_ws is not None:
+            l0 = jnp.asarray(self.l_ws, self.dtype)
+        else:
+            l0 = self.problem.dual_warm_start(u0, x0, up, parameters)
+        res = self._solve_jit(u0, l0, x0, up, parameters)
+
+        self.q_pred = np.asarray(self.problem.rollout(res.u, x0))
+        self.u_pred = np.asarray(self.problem.u_to_stage(res.u))
+        self.l_pred = np.asarray(res.l)
+        status = int(res.status)
+        msg = STATUS_MSG.get(status, 'unknown')
+        dur = time.time() - t_start
+        self.print_method(f'Solve status: {msg}')
+        self.print_method(f'Solve iters: {int(res.iters)}')
+        self.print_method(f'Solve time: {dur:.2f}')
+        return dict(time=dur, num_iters=int(res.iters),
+                    status=(status in (CONV_ABS, CONV_REL)),
+                    cond=dict(p_feas=float(res.p_feas), comp=float(res.comp),
+                              stat=float(res.stat)),
+                    qp_solves=int(res.qp_solves), msg=msg,
+                    primal_sol=np.asarray(res.u), dual_sol=np.asarray(res.l),
+                    x_pred=self.q_pred, u_pred=self.u_pred,
+                    u_sol=np.asarray(res.u), l_sol=np.asarray(res.l),
+                    conds=dict(p_feas=float(res.p_feas), comp=float(res.comp),
+                               stat=float(res.stat)))
+
+    def step(self, states: List[VehicleState], parameters=None):
+        info = self.solve(states, parameters)
+        self.joint_dynamics.qu2state(states, None, self.u_pred[0])
+        self.state_input_predictions = self.joint_dynamics.qu2prediction(
+            self.state_input_predictions, self.q_pred, self.u_pred)
+        for pred in self.state_input_predictions:
+            pred.t = states[0].t
+        self.u_prev = self.u_pred[0]
+        if info['msg'] not in ('diverged', 'qp_fail'):
+            u_ws = np.vstack((self.u_pred[1:], self.u_pred[-1:]))
+            self.set_warm_start(u_ws)
+        return info
+
+    def get_prediction(self) -> List[VehiclePrediction]:
+        return self.state_input_predictions

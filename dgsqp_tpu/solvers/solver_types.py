@@ -94,16 +94,22 @@ class DGSQPParams(ControllerConfig):
 
 @dataclass
 class DGSQPV2Params(DGSQPParams):
-    """Journal-algorithm (v2) parameters (reference ``solver_types.py`` DGSQPV2Params)."""
-    delta: float = 1.0                  # d-step trust quantity
-    gamma: float = 2.0                  # delta growth factor
+    """Journal-algorithm (v2) parameters
+    (reference ``solver_types.py:130-174`` DGSQPV2Params; defaults match)."""
+    p_tol: float = 1e-4
+    d_tol: float = 1e-4
+    reg: float = 1e2
     reg_decay: float = 0.95
     nms: bool = True
-    nms_frequency: int = 10
-    nms_memory_size: int = 10
+    nms_frequency: int = 5
+    nms_memory_size: int = 3
+    sqp_iters: int = 500
     merit_parameter: Optional[float] = None   # None => adaptive
+    merit_decrease: float = 0.01              # sigma
     merit_decrease_condition: str = 'armijo'  # or 'max'
-    cost_setpoint_method: str = 'max'
+    approximation_eval: str = 'always'        # 'once' (frenet-approx variant)
+    delta_decay: float = 0.95                 # gamma: d-step trust shrink factor
+    save_qp_data: bool = False
 
 
 @dataclass

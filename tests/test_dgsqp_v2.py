@@ -1,0 +1,81 @@
+"""DGSQP v2 (NMS) tests: convergence + agreement with v1 on the integrator game."""
+import numpy as np
+import jax.numpy as jnp
+
+from dgsqp_tpu.dynamics import IntegratorModel, DynamicsConfig, MultiAgentDynamicsModel
+from dgsqp_tpu.solvers.dgsqp import DGSQP
+from dgsqp_tpu.solvers.dgsqp_v2 import DGSQPV2
+from dgsqp_tpu.solvers.solver_types import DGSQPParams, DGSQPV2Params
+from dgsqp_tpu.types import VehicleState
+
+N = 5
+DT = 0.1
+
+
+def _game():
+    m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+    def stage(x, u, um):
+        return 0.5 * u[0] ** 2
+
+    def term_0(x):
+        return 50.0 * (x[0] - 1.0) ** 2 + 0.3 * x[0] * x[1]
+
+    def term_1(x):
+        return 50.0 * (x[1] - 1.0) ** 2 + 0.3 * x[0] * x[1]
+
+    def shared(x, u, um):
+        return jnp.array([x[0] + x[1] - 1.0])
+
+    def shared_term(x):
+        return jnp.array([x[0] + x[1] - 1.0])
+
+    ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+    lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+    bounds = {'ub': [ub, ub.copy()], 'lb': [lb, lb.copy()]}
+    costs = [(stage, term_0), (stage, term_1)]
+    shared_list = [None] + [shared] * (N - 1) + [shared_term]
+    return joint, costs, shared_list, bounds
+
+
+def test_v2_nms_converges():
+    joint, costs, shared_list, bounds = _game()
+    params = DGSQPV2Params(N=N, dt=DT, reg=1e2, reg_decay=0.95, nms=True,
+                           nms_frequency=5, nms_memory_size=3, sqp_iters=200,
+                           p_tol=1e-7, d_tol=1e-7, merit_decrease=0.01)
+    solver = DGSQPV2(joint, costs, [None, None], shared_list, bounds, params,
+                     print_method=None)
+    info = solver.solve([VehicleState(), VehicleState()])
+    assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
+    assert info['cond']['p_feas'] < 1e-7
+    assert info['cond']['stat'] < 1e-7
+
+
+def test_v2_matches_v1():
+    joint, costs, shared_list, bounds = _game()
+    v2 = DGSQPV2(joint, costs, [None, None], shared_list, bounds,
+                 DGSQPV2Params(N=N, dt=DT, reg=1e1, nms=True, sqp_iters=200,
+                               p_tol=1e-8, d_tol=1e-8), print_method=None)
+    v2_info = v2.solve([VehicleState(), VehicleState()])
+    assert v2_info['status'], v2_info
+
+    joint1, costs1, shared_list1, bounds1 = _game()
+    v1 = DGSQP(joint1, costs1, [None, None], shared_list1, bounds1,
+               DGSQPParams(N=N, dt=DT, reg=0.0, p_tol=1e-8, d_tol=1e-8),
+               print_method=None)
+    v1_info = v1.solve([VehicleState(), VehicleState()])
+    assert v1_info['status']
+    np.testing.assert_allclose(v2_info['u_sol'], v1_info['u_sol'], atol=1e-5)
+
+
+def test_v2_non_nms_mode():
+    joint, costs, shared_list, bounds = _game()
+    solver = DGSQPV2(joint, costs, [None, None], shared_list, bounds,
+                     DGSQPV2Params(N=N, dt=DT, reg=1.0, nms=False, sqp_iters=200,
+                                   p_tol=1e-6, d_tol=1e-6,
+                                   merit_decrease_condition='armijo'),
+                     print_method=None)
+    info = solver.solve([VehicleState(), VehicleState()])
+    assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
