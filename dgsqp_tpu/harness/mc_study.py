@@ -1,0 +1,140 @@
+"""Monte-Carlo study runner: the batched, sharded equivalent of the reference harness.
+
+The reference runs MC studies as sequential Python loops dispatched by shell scripts, one
+solve at a time, pickling one result per sample
+(``scripts/comparison_study_barc/monte_carlo_main.py:8-124``, ``run_kinematic_study.sh``).
+Here one call samples all initial conditions, warm-starts them in a single vmap, and solves
+the whole batch in lockstep on however many devices are visible — the throughput axis the
+framework is built around.  ``analyze_results`` reproduces ``analyze_data.py:36-105``'s
+statistics (success rate, solve-time stats over converged samples, iteration counts).
+"""
+from __future__ import annotations
+
+import json
+import pickle
+import time
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgsqp_tpu.harness.samplers import (sample_agents_initial_conditions,
+                                        sample_duel_initial_conditions,
+                                        sample_merge_initial_conditions)
+from dgsqp_tpu.parallel.mesh import games_mesh, pad_to_multiple, sharded_batch_solve
+from dgsqp_tpu.solvers.dgsqp import DGSQP, CONV_ABS, CONV_REL, STATUS_MSG
+from dgsqp_tpu.solvers.dgsqp_v2 import DGSQPV2
+from dgsqp_tpu.solvers.solver_types import DGSQPParams, DGSQPV2Params
+
+
+@dataclass
+class MCResults:
+    scenario: str
+    solver: str
+    num_samples: int
+    statuses: np.ndarray
+    iters: np.ndarray
+    qp_solves: np.ndarray
+    p_feas: np.ndarray
+    comp: np.ndarray
+    stat: np.ndarray
+    u_sol: np.ndarray
+    x0: np.ndarray
+    wall_time_s: float
+    compile_time_s: float
+
+
+def _sample(scenario, num_samples, seed):
+    if scenario.name.startswith('merge'):
+        return sample_merge_initial_conditions(scenario, num_samples, seed=seed)
+    if scenario.name.startswith('agents'):
+        return sample_agents_initial_conditions(scenario, num_samples, seed=seed)
+    return sample_duel_initial_conditions(scenario, num_samples, seed=seed)
+
+
+def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int = 0,
+                 solver_cls=DGSQP, n_devices: Optional[int] = None,
+                 solver=None) -> MCResults:
+    """Run one Monte-Carlo configuration end to end, batched over all samples."""
+    if solver is None:
+        if solver_params is None:
+            solver_params = DGSQPParams(N=scenario.N, dt=scenario.dt, reg=1e-3,
+                                        nonmono_ls=True, line_search_iters=50,
+                                        sqp_iters=50, p_tol=1e-3, d_tol=1e-3,
+                                        beta=0.01, tau=0.5)
+        solver = solver_cls(scenario.joint_model, scenario.costs,
+                            scenario.agent_constraints, scenario.shared_constraints,
+                            scenario.bounds, solver_params, print_method=None)
+    dtype = solver.dtype
+
+    x0, u_ws, _, _ = _sample(scenario, num_samples, seed)
+    u0 = np.asarray(jax.vmap(solver.problem.stage_to_u)(jnp.asarray(u_ws, dtype)))
+    up = np.zeros((num_samples, scenario.joint_model.n_u), dtype=np.asarray(u0).dtype)
+    l0 = np.asarray(jax.jit(jax.vmap(
+        lambda u, x, p: solver.problem.dual_warm_start(u, x, p)))(
+        jnp.asarray(u0), jnp.asarray(x0, dtype), jnp.asarray(up)))
+
+    mesh = games_mesh(n_devices)
+    n_dev = mesh.devices.size
+    args = []
+    for a in (u0, l0, x0.astype(np.asarray(u0).dtype), up):
+        padded, orig = pad_to_multiple(np.asarray(a), n_dev)
+        args.append(padded)
+
+    t0 = time.time()
+    res = sharded_batch_solve(lambda u, l, x, p: solver._solve_core(u, l, x, p, None),
+                              mesh, *args)
+    jax.block_until_ready(res)
+    first = time.time() - t0
+
+    t0 = time.time()
+    res = sharded_batch_solve(lambda u, l, x, p: solver._solve_core(u, l, x, p, None),
+                              mesh, *args)
+    jax.block_until_ready(res)
+    solve_time = time.time() - t0
+
+    B = num_samples
+    return MCResults(scenario=scenario.name, solver=type(solver).__name__,
+                     num_samples=B,
+                     statuses=np.asarray(res.status)[:B],
+                     iters=np.asarray(res.iters)[:B],
+                     qp_solves=np.asarray(res.qp_solves)[:B],
+                     p_feas=np.asarray(res.p_feas)[:B],
+                     comp=np.asarray(res.comp)[:B],
+                     stat=np.asarray(res.stat)[:B],
+                     u_sol=np.asarray(res.u)[:B],
+                     x0=np.asarray(x0),
+                     wall_time_s=solve_time,
+                     compile_time_s=first - solve_time)
+
+
+def analyze_results(results: MCResults) -> dict:
+    """Success-rate and timing statistics (reference ``analyze_data.py:59-86``)."""
+    conv = np.isin(results.statuses, (CONV_ABS, CONV_REL))
+    out = dict(
+        scenario=results.scenario,
+        solver=results.solver,
+        total=int(results.num_samples),
+        converged=int(conv.sum()),
+        success_rate=float(conv.mean()) if results.num_samples else 0.0,
+        solves_per_s=results.num_samples / results.wall_time_s,
+        mean_iters=float(results.iters[conv].mean()) if conv.any() else float('nan'),
+        max_iters=int(results.iters.max()) if results.num_samples else 0,
+        mean_qp_solves=float(results.qp_solves[conv].mean()) if conv.any() else float('nan'),
+        status_counts={STATUS_MSG.get(int(s), str(s)): int((results.statuses == s).sum())
+                       for s in np.unique(results.statuses)},
+        feas_violation_max=float(np.max(results.p_feas)) if results.num_samples else 0.0,
+    )
+    return out
+
+
+def save_results(results: MCResults, path):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, 'wb') as f:
+        pickle.dump(results, f)
+    with open(path.with_suffix('.json'), 'w') as f:
+        json.dump(analyze_results(results), f, indent=2)

@@ -183,3 +183,196 @@ def build_curve_scenario(N: int = 25, theta_deg: float = 90.0, dt: float = 0.1,
                        width=half_width * 2, slack=0.8, ccw=True)
     return build_racing_duel(track, N=N, dt=dt, half_width=half_width,
                              name=f'curve_t{int(theta_deg)}_N{N}', **kw)
+
+
+def build_agents_scenario(M: int = 3, N: int = 25, theta_deg: float = 90.0,
+                          dt: float = 0.1, half_width: float = 1.0,
+                          comp_weights=(10.0, 5.0), obs_r: float = 0.3,
+                          u_a_max: float = 2.1, u_steer_max: float = 0.436,
+                          u_a_rate: float = 10.0, u_steer_rate: float = np.pi) -> Scenario:
+    """BASELINE config 4: agent-count scaling study, M kinematic-bicycle-combined agents on
+    a curved track (``scripts/DGSQP_monte_carlo_agents.py:98-290``).
+
+    Per-agent terminal cost: own-progress + arctan competitive terms against EVERY other
+    agent; shared constraints: pairwise collision avoidance with radius ``obs_r`` each.
+    """
+    track = CurveTrack(enter_straight_length=1, curve_length=8,
+                       curve_swept_angle=theta_deg * np.pi / 180, exit_straight_length=5,
+                       width=half_width * 2, slack=0.8, ccw=True)
+    cfg = KinematicBicycleConfig(dt=dt, model_name='kinematic_bicycle_cl', noise=False,
+                                 discretization_method='euler',
+                                 wheel_dist_front=0.13, wheel_dist_rear=0.13,
+                                 drag_coefficient=0.1, slip_coefficient=0.1)
+    models = [KinematicBicycleCombined(0.0, KinematicBicycleConfig(**{**cfg.__dict__}),
+                                       track=track) for _ in range(M)]
+    joint = MultiAgentDynamicsModel(0.0, models, MultiAgentModelConfig(dt=dt))
+
+    n_qa = 6
+    xy_idx = [np.array([0, 1]) + n_qa * a for a in range(M)]
+    s_idx = [4 + n_qa * a for a in range(M)]
+
+    def make_cost(a):
+        def stage(x, u, um):
+            return 0.5 * (u[0] ** 2 + u[1] ** 2) \
+                + 0.5 * ((u[0] - um[0]) ** 2 + (u[1] - um[1]) ** 2)
+
+        def term(x):
+            c = -comp_weights[0] * x[s_idx[a]]
+            for b in range(M):
+                if b != a:
+                    c = c + comp_weights[1] * jnp.arctan(x[s_idx[b]] - x[s_idx[a]])
+            return c
+        return (stage, term)
+
+    costs = [make_cost(a) for a in range(M)]
+
+    def rate_constr(x, u, um):
+        return jnp.array([(u[0] - um[0]) - dt * u_a_rate,
+                          dt * (-u_a_rate) - (u[0] - um[0]),
+                          (u[1] - um[1]) - dt * u_steer_rate,
+                          dt * (-u_steer_rate) - (u[1] - um[1])])
+
+    agent_constraints = [[rate_constr] * N + [None] for _ in range(M)]
+
+    obs_d = 2 * obs_r
+
+    def obs_avoid(x):
+        rows = []
+        for i in range(M):
+            for j in range(i + 1, M):
+                dxy = x[xy_idx[i]] - x[xy_idx[j]]
+                rows.append(obs_d ** 2 - jnp.dot(dxy, dxy))
+        return jnp.stack(rows)
+
+    shared_constraints = [None] + [(lambda x, u, um: obs_avoid(x))] * (N - 1) \
+        + [lambda x: obs_avoid(x)]
+
+    ub = _vehicle_bound(half_width, u_a_max, u_steer_max)
+    bounds = {'ub': [ub.copy() for _ in range(M)],
+              'lb': [_neg(ub) for _ in range(M)]}
+
+    return Scenario(name=f'agents_M{M}_t{int(theta_deg)}_N{N}', track=track,
+                    joint_model=joint, costs=costs, agent_constraints=agent_constraints,
+                    shared_constraints=shared_constraints, bounds=bounds, N=N, dt=dt,
+                    obs_d=obs_d, half_width=half_width,
+                    input_ub=np.array([u_a_max, u_steer_max]),
+                    input_lb=np.array([-u_a_max, -u_steer_max]),
+                    input_rate_ub=np.array([u_a_rate, u_steer_rate]),
+                    input_rate_lb=np.array([-u_a_rate, -u_steer_rate]))
+
+
+def build_merge_scenario(N: int = 20, dt: float = 0.1) -> Scenario:
+    """BASELINE config 3: 3-unicycle highway merge in a hand-built polygonal environment
+    (``scripts/DGSQP_merge_monte_carlo.py:40-384``).
+
+    Cars 1-2 drive the straight lane, car 3 enters on a ramp; per-agent lane half-plane
+    constraints (piecewise normals on the ramp), pairwise collision avoidance shared
+    constraints, quadratic goal-tracking costs.
+    """
+    ll, lw, mw, mp = 5.0, 0.3, 0.3, 1.5
+    th = np.pi / 12
+    r = 0.1
+
+    ns = np.array([0.0, 1.0])
+    nm = np.array([-np.sin(th), np.cos(th)])
+    x1 = np.array([0.0, lw])
+    x3 = np.array([0.0, 0.0])
+    x5 = np.array([mp, 0.0])
+    x6 = np.array([mp + lw / np.tan(th), lw])
+    x7 = np.array([mp + mw / np.sin(th), 0.0])
+
+    goals = [np.array([4.0, 0.15, 0.3, 0.0]),
+             np.array([4.5, 0.15, 0.3, 0.0]),
+             np.array([4.25, 0.15, 0.3, 0.0])]
+
+    models = [KinematicUnicycle(0.0, UnicycleConfig(dt=dt, discretization_method='rk3', M=1))
+              for _ in range(3)]
+    joint = MultiAgentDynamicsModel(0.0, models, MultiAgentModelConfig(dt=dt))
+
+    n_qa = 4
+    xy_idx = [np.array([0, 1]) + n_qa * a for a in range(3)]
+    q_idx = [np.arange(4) + n_qa * a for a in range(3)]
+
+    W = jnp.asarray(np.diag([1.0, 10.0, 1.0, 1.0]))
+
+    def make_cost(a):
+        goal = jnp.asarray(goals[a])
+
+        def stage(x, u, um):
+            dq = x[q_idx[a]] - goal
+            return 0.5 * 0.1 * (u[0] ** 2 + u[1] ** 2) + 0.5 * dq @ W @ dq
+
+        def term(x):
+            dq = x[q_idx[a]] - goal
+            return 10.0 * 0.5 * dq @ W @ dq
+        return (stage, term)
+
+    costs = [make_cost(a) for a in range(3)]
+
+    # lane constraints (reference merge script lines 66-74, 316-318)
+    def straight_lane(p):
+        return jnp.array([p[1] - (lw - r),     # below left boundary (shifted in by r)
+                          r - p[1]])           # above right boundary
+
+    def ramp_lane(p):
+        n_l = jnp.where(p[0] < x6[0], jnp.asarray(nm), jnp.asarray(ns))
+        n_r = jnp.where(p[0] < x7[0], -jnp.asarray(nm), -jnp.asarray(ns))
+        c_l = n_l @ (p - jnp.asarray(x6)) + r
+        c_r = n_r @ (p - jnp.asarray(x7)) + r
+        return jnp.array([c_l, c_r])
+
+    def make_lane(a):
+        lane = ramp_lane if a == 2 else straight_lane
+
+        def stage(x, u, um):
+            return lane(x[xy_idx[a]])
+
+        def term(x):
+            return lane(x[xy_idx[a]])
+        return [stage] * N + [term]
+
+    agent_constraints = [make_lane(a) for a in range(3)]
+
+    agent_r = 0.1
+    obs_d = 2 * agent_r
+
+    def obs_avoid(x):
+        rows = []
+        for i in range(3):
+            for j in range(i + 1, 3):
+                dxy = x[xy_idx[i]] - x[xy_idx[j]]
+                rows.append(obs_d ** 2 - jnp.dot(dxy, dxy))
+        return jnp.stack(rows)
+
+    shared_constraints = [None] + [(lambda x, u, um: obs_avoid(x))] * (N - 1) \
+        + [lambda x: obs_avoid(x)]
+
+    def bound_state(v_max, u_a, u_steer):
+        st = VehicleState(
+            x=Position(x=np.inf, y=np.inf),
+            p=ParametricPose(s=np.inf, x_tran=np.inf, e_psi=np.inf),
+            e=OrientationEuler(psi=np.inf),
+            v=BodyLinearVelocity(v_long=v_max, v_tran=np.inf),
+            w=BodyAngularVelocity(w_psi=np.inf),
+            u=VehicleActuation(u_a=u_a, u_steer=u_steer))
+        return st
+
+    ub = bound_state(2.0, 2.0, 4.5)
+    lb = VehicleState(
+        x=Position(x=-np.inf, y=-np.inf),
+        p=ParametricPose(s=-np.inf, x_tran=-np.inf, e_psi=-np.inf),
+        e=OrientationEuler(psi=-np.inf),
+        v=BodyLinearVelocity(v_long=-2.0, v_tran=-np.inf),
+        w=BodyAngularVelocity(w_psi=-np.inf),
+        u=VehicleActuation(u_a=-2.0, u_steer=-4.5))
+    bounds = {'ub': [ub.copy() for _ in range(3)], 'lb': [lb.copy() for _ in range(3)]}
+
+    sc = Scenario(name=f'merge_N{N}', track=None, joint_model=joint, costs=costs,
+                  agent_constraints=agent_constraints, shared_constraints=shared_constraints,
+                  bounds=bounds, N=N, dt=dt, obs_d=obs_d, half_width=lw / 2,
+                  input_ub=np.array([2.0, 4.5]), input_lb=np.array([-2.0, -4.5]),
+                  input_rate_ub=np.array([np.inf, np.inf]),
+                  input_rate_lb=np.array([-np.inf, -np.inf]))
+    sc.merge_geometry = dict(ll=ll, lw=lw, mw=mw, mp=mp, th=th, r=r,
+                             x1=x1, x3=x3, x5=x5, x6=x6, x7=x7, goals=goals)
+    return sc

@@ -71,12 +71,12 @@ def pid_rollout(model, q0, v_ref, lat_ref, N: int, dt: float,
     return u_seq, q_all
 
 
-def duel_warm_start(scenario, q0_joint, v_refs, lat_refs):
-    """Warm-start both agents of a racing duel from a joint initial state.
+def pid_warm_start(scenario, q0_joint, v_refs, lat_refs):
+    """Warm-start all M agents of a racing scenario from a joint initial state.
 
     Returns (u_ws stage-ordered (N, n_u), q_ws (N+1, n_q), collision flag) where collision
-    uses the reference's check: any-step global xy distance below ``obs_d``
-    (``..._chicane.py:38-43``).
+    uses the reference's check: any-step pairwise global xy distance below ``obs_d``
+    (``..._chicane.py:38-43``, ``DGSQP_monte_carlo_agents.py`` uses the same helper).
     """
     models = scenario.joint_model.dynamics_models
     n_qs = scenario.joint_model.num_qa_d
@@ -92,6 +92,13 @@ def duel_warm_start(scenario, q0_joint, v_refs, lat_refs):
         off += n_qs[a]
     u_ws = jnp.concatenate(u_list, axis=1)
     q_ws = jnp.concatenate(q_list, axis=1)
-    d = jnp.linalg.norm(q_list[0][:, 0:2] - q_list[1][:, 0:2], axis=1)
-    collision = jnp.any(d < scenario.obs_d)
+    collision = jnp.asarray(False)
+    for i in range(len(models)):
+        for j in range(i + 1, len(models)):
+            d = jnp.linalg.norm(q_list[i][:, 0:2] - q_list[j][:, 0:2], axis=1)
+            collision = collision | jnp.any(d < scenario.obs_d)
     return u_ws, q_ws, collision
+
+
+# Backwards-compatible name for the 2-agent case.
+duel_warm_start = pid_warm_start
