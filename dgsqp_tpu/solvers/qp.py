@@ -185,3 +185,115 @@ def _polish(Q, q, A, b, lam, t):
 def solve_qp_batch(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50) -> QPSolution:
     """Batched entry point: leading batch axis on every argument."""
     return jax.vmap(lambda Qi, qi, Ai, bi: solve_qp(Qi, qi, Ai, bi, tol, max_iters))(Q, q, A, b)
+
+
+class EqQPSolution(NamedTuple):
+    x: jnp.ndarray
+    lam: jnp.ndarray      # inequality duals >= 0
+    nu: jnp.ndarray       # equality duals
+    ok: jnp.ndarray
+    iters: jnp.ndarray
+    res: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=('max_iters',))
+def solve_eq_qp(Q, q, A, b, E, d, tol: float = 1e-8, max_iters: int = 50) -> EqQPSolution:
+    """Solve  min 1/2 x'Qx + q'x  s.t.  Ex = d,  Ax <= b.
+
+    Same Mehrotra IPM as :func:`solve_qp` with the equality block handled by a Schur
+    complement on the reduced normal matrix (two Cholesky factorizations per iteration).
+    Used by the LTV-MPC subproblems whose linearized dynamics are equality constraints
+    (reference ``CA_LTV_MPC.py:554-634`` solves the same structure through OSQP/HPIPM).
+    """
+    n = q.shape[-1]
+    m = b.shape[-1]
+    me = d.shape[-1]
+    dtype = q.dtype
+
+    def residuals(x, lam, nu, t):
+        r_d = Q @ x + q + A.T @ lam + E.T @ nu
+        r_p = A @ x + t - b
+        r_e = E @ x - d
+        mu = jnp.dot(t, lam) / max(m, 1)
+        return r_d, r_p, r_e, mu
+
+    class S(NamedTuple):
+        x: jnp.ndarray
+        lam: jnp.ndarray
+        nu: jnp.ndarray
+        t: jnp.ndarray
+        it: jnp.ndarray
+        done: jnp.ndarray
+        res: jnp.ndarray
+
+    def body(st: S) -> S:
+        x, lam, nu, t = st.x, st.lam, st.nu, st.t
+        r_d, r_p, r_e, mu = residuals(x, lam, nu, t)
+
+        dd = lam / t
+        K = Q + (A.T * dd) @ A
+        K = K + 1e-12 * jnp.trace(K) / n * jnp.eye(n, dtype=dtype)
+        L = jnp.linalg.cholesky(K)
+
+        Kinv_Et = jax.scipy.linalg.cho_solve((L, True), E.T)
+        Schur = E @ Kinv_Et + 1e-12 * jnp.eye(me, dtype=dtype)
+        Ls = jnp.linalg.cholesky(Schur)
+
+        def newton(r_c):
+            r1 = -r_d - A.T @ (dd * r_p - r_c / t)
+            w = jax.scipy.linalg.cho_solve((L, True), r1)
+            rhs_nu = E @ w + r_e
+            dnu = jax.scipy.linalg.cho_solve((Ls, True), rhs_nu)
+            dx = w - Kinv_Et @ dnu
+            dlam = dd * (A @ dx + r_p) - r_c / t
+            dt = -(r_c + t * dlam) / lam
+            return dx, dlam, dnu, dt
+
+        r_c_aff = t * lam
+        dx_a, dlam_a, dnu_a, dt_a = newton(r_c_aff)
+        a_p = _step_length(t, dt_a)
+        a_d = _step_length(lam, dlam_a)
+        mu_aff = jnp.dot(t + a_p * dt_a, lam + a_d * dlam_a) / max(m, 1)
+        sigma = (mu_aff / (mu + 1e-300)) ** 3
+
+        r_c = t * lam + dt_a * dlam_a - sigma * mu * jnp.ones(m, dtype)
+        dx, dlam, dnu, dt = newton(r_c)
+        alpha = jnp.minimum(_step_length(t, dt), _step_length(lam, dlam))
+
+        x_n = x + alpha * dx
+        lam_n = lam + alpha * dlam
+        nu_n = nu + alpha * dnu
+        t_n = t + alpha * dt
+
+        r_d2, r_p2, r_e2, mu2 = residuals(x_n, lam_n, nu_n, t_n)
+        scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)),
+                                  jnp.maximum(jnp.max(jnp.abs(b), initial=0.0),
+                                              jnp.max(jnp.abs(d), initial=0.0)))
+        res = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(r_d2)),
+                                      jnp.max(jnp.abs(r_p2), initial=0.0)),
+                          jnp.maximum(jnp.max(jnp.abs(r_e2), initial=0.0), mu2))
+        done = (res < tol * scale) | ~jnp.isfinite(res)
+        bad = ~jnp.isfinite(jnp.max(jnp.abs(x_n)) + jnp.max(jnp.abs(lam_n), initial=0.0))
+        x_n = jnp.where(bad, x, x_n)
+        lam_n = jnp.where(bad, lam, lam_n)
+        nu_n = jnp.where(bad, nu, nu_n)
+        t_n = jnp.where(bad, t, t_n)
+        return S(x_n, lam_n, nu_n, t_n, st.it + 1, done | bad, res)
+
+    def cond(st: S):
+        return (~st.done) & (st.it < max_iters)
+
+    st0 = S(jnp.zeros(n, dtype), jnp.ones(m, dtype), jnp.zeros(me, dtype),
+            jnp.maximum(1.0, jnp.abs(b)), jnp.asarray(0), jnp.asarray(False),
+            jnp.asarray(jnp.inf, dtype))
+    st = jax.lax.while_loop(cond, body, st0)
+
+    r_d, r_p, r_e, mu = residuals(st.x, st.lam, st.nu, st.t)
+    scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)),
+                              jnp.maximum(jnp.max(jnp.abs(b), initial=0.0),
+                                          jnp.max(jnp.abs(d), initial=0.0)))
+    res = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(r_d)),
+                                  jnp.max(jnp.abs(r_p), initial=0.0)),
+                      jnp.maximum(jnp.max(jnp.abs(r_e), initial=0.0), mu))
+    ok = (res < 1e4 * tol * scale) & jnp.isfinite(res)
+    return EqQPSolution(st.x, st.lam, st.nu, ok, st.it, res)

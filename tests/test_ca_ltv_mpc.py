@@ -1,0 +1,72 @@
+"""CA-LTV-MPC tests: reference tracking on a unicycle with input/rate bounds."""
+import numpy as np
+import jax.numpy as jnp
+
+from dgsqp_tpu.dynamics import KinematicUnicycle, UnicycleConfig
+from dgsqp_tpu.solvers.ca_ltv_mpc import CA_LTV_MPC
+from dgsqp_tpu.solvers.solver_types import CALTVMPCParams
+from dgsqp_tpu.types import (BodyLinearVelocity, OrientationEuler, Position,
+                             VehicleActuation, VehicleState)
+
+N = 10
+DT = 0.1
+
+
+def _make_mpc(target=np.array([1.0, 0.5, 0.0, 0.0])):
+    model = KinematicUnicycle(0.0, UnicycleConfig(dt=DT))
+    W = jnp.asarray(np.diag([10.0, 10.0, 1.0, 1.0]))
+    tgt = jnp.asarray(target)
+
+    def state_cost(q):
+        return 0.5 * (q - tgt) @ W @ (q - tgt)
+
+    def input_cost(u):
+        return 0.05 * (u[0] ** 2 + u[1] ** 2)
+
+    def rate_cost(du):
+        return 0.05 * (du[0] ** 2 + du[1] ** 2)
+
+    costs = {'state': [state_cost] * (N + 1),
+             'input': [input_cost] * (N + 1),
+             'rate': [rate_cost] * N}
+    constraints = {'state_input': [None] * (N + 1), 'rate': [None] * N}
+
+    def bound(v, ua, us):
+        st = VehicleState(x=Position(x=np.inf, y=np.inf),
+                          e=OrientationEuler(psi=np.inf),
+                          v=BodyLinearVelocity(v_long=v),
+                          u=VehicleActuation(u_a=ua, u_steer=us))
+        return st
+
+    ub = bound(5.0, 3.0, 3.0)
+    lb = VehicleState(x=Position(x=-np.inf, y=-np.inf),
+                      e=OrientationEuler(psi=-np.inf),
+                      v=BodyLinearVelocity(v_long=-5.0),
+                      u=VehicleActuation(u_a=-3.0, u_steer=-3.0))
+    du_ub = VehicleState(u=VehicleActuation(u_a=10.0 * DT, u_steer=10.0 * DT))
+    du_lb = VehicleState(u=VehicleActuation(u_a=-10.0 * DT, u_steer=-10.0 * DT))
+    bounds = {'qu_ub': ub, 'qu_lb': lb, 'du_ub': du_ub, 'du_lb': du_lb}
+
+    params = CALTVMPCParams(N=N, dt=DT, qp_iters=3, damping=0.5)
+    return model, CA_LTV_MPC(model, costs, constraints, bounds, params, print_method=None)
+
+
+def test_mpc_solves_and_respects_bounds():
+    model, mpc = _make_mpc()
+    st = VehicleState(t=0.0)
+    st.v.v_long = 0.5
+    ok = mpc.solve(st)
+    assert ok
+    assert np.abs(mpc.u_pred[:, 0]).max() <= 3.0 + 1e-6
+    assert np.abs(np.diff(mpc.u_pred[:, 0])).max() <= 10.0 * DT + 1e-5
+
+
+def test_mpc_closed_loop_reaches_target():
+    model, mpc = _make_mpc(target=np.array([1.0, 0.3, 0.0, 0.0]))
+    st = VehicleState(t=0.0)
+    st.v.v_long = 0.3
+    for _ in range(40):
+        mpc.step(st)
+        model.step(st)
+    assert abs(st.x.x - 1.0) < 0.1
+    assert abs(st.x.y - 0.3) < 0.1
