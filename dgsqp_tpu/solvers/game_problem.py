@@ -17,6 +17,12 @@ Decision-variable layout matches the reference exactly: the input sequence is st
 ``u = [u^1_0..u^1_{N-1}, u^2_0..u^2_{N-1}, ...]`` (``DGSQP.py:590``), so duals, Jacobians and
 Hessian blocks are directly comparable across frameworks.
 
+Execution design: per-stage cost/constraint callables that are the SAME function across stages
+are grouped and evaluated in one ``vmap`` over the stage axis, then scattered into the
+reference's canonical row order with precomputed index maps — the XLA program stays small and
+batched instead of unrolling N stages of tiny ops (compile time and runtime both scale with
+the number of DISTINCT callables, not the horizon).
+
 User-facing API parity: costs/constraints are supplied as per-agent lists of per-stage callables
 (length N+1, entry N = terminal, entries may be ``None``), mirroring the reference's lists of
 ``ca.Function`` (``DGSQP.py:26-34``).  Callables are plain jnp functions:
@@ -24,7 +30,8 @@ User-facing API parity: costs/constraints are supplied as per-agent lists of per
     terminal cost     f(x_N)                              -> scalar   [optionally (x_N, P)]
     agent constraint  f(x_k, u^a_k, u^a_{k-1})            -> (m,)     [optionally (.., P)]
     shared constraint f(x_k, u_k, u_{k-1})                -> (m,)     [optionally (.., P)]
-Parameterized variants receive the solve-time parameter pytree ``P`` as their last argument.
+A callable with attribute ``stage_indexed = True`` additionally receives the stage index k as
+its last argument (used by the approximate-game path to index per-stage parameter arrays).
 """
 from __future__ import annotations
 
@@ -42,13 +49,36 @@ def _n_args(fn: Callable) -> int:
     return len(inspect.signature(fn).parameters)
 
 
-def _call_stage(fn, x, u, um, P):
-    """Call a stage callable with or without the parameter argument."""
-    return fn(x, u, um, P) if _n_args(fn) >= 4 else fn(x, u, um)
+def _takes_params(fn: Callable) -> bool:
+    n = _n_args(fn)
+    if getattr(fn, 'stage_indexed', False):
+        n -= 1
+    return n >= 4
 
 
-def _call_term(fn, x, P):
-    return fn(x, P) if _n_args(fn) >= 2 else fn(x)
+def _takes_params_term(fn: Callable) -> bool:
+    n = _n_args(fn)
+    if getattr(fn, 'stage_indexed', False):
+        n -= 1
+    return n >= 2
+
+
+def _call_stage(fn, x, u, um, P, k=None):
+    args = (x, u, um)
+    if _takes_params(fn):
+        args = args + (P,)
+    if getattr(fn, 'stage_indexed', False):
+        args = args + (k,)
+    return fn(*args)
+
+
+def _call_term(fn, x, P, k=None):
+    args = (x,)
+    if _takes_params_term(fn):
+        args = args + (P,)
+    if getattr(fn, 'stage_indexed', False):
+        args = args + (k,)
+    return fn(*args)
 
 
 def _as_stage_list(spec, N: int):
@@ -67,6 +97,21 @@ def _as_stage_list(spec, N: int):
         stage, term = spec
         return [stage] * N + [term]
     raise ValueError('Cost/constraint spec must be a list of length N+1 or a (stage, terminal) tuple')
+
+
+def _group_stages(fns: Sequence) -> List:
+    """Group a length-N list of callables by identity: [(fn, np.array(ks)), ...]."""
+    groups = {}
+    order = []
+    for k, fn in enumerate(fns):
+        if fn is None:
+            continue
+        key = id(fn)
+        if key not in groups:
+            groups[key] = (fn, [])
+            order.append(key)
+        groups[key][1].append(k)
+    return [(groups[key][0], np.asarray(groups[key][1])) for key in order]
 
 
 class GameProblem:
@@ -123,8 +168,8 @@ class GameProblem:
             self.input_ub_idxs.append(np.where(iu < np.inf)[0])
             self.input_lb_idxs.append(np.where(il > -np.inf)[0])
 
-        # --- constraint dimension bookkeeping (matches reference n_cs/n_ca/n_c layout)
         self._count_constraints()
+        self._build_plan()
 
     # ------------------------------------------------------------ layout helpers
     def u_to_stage(self, u_flat):
@@ -159,41 +204,16 @@ class GameProblem:
         _, xs = jax.lax.scan(step, x0, u_mat)
         return jnp.concatenate([x0[None, :], xs], axis=0)
 
-    # ------------------------------------------------------------------- costs
-    def agent_cost(self, a: int, u_flat, x0, u_prev, P=None):
-        """J^a(u) — scalar cost of agent a along the rollout (reference ``DGSQP.py:656-670``).
+    # -------------------------------------------------- constraint bookkeeping
+    def _probe_rows(self, fn, x, u, um, terminal=False):
+        if terminal:
+            return int(np.asarray(_call_term(fn, x, None, 0)).size)
+        return int(np.asarray(_call_stage(fn, x, u, um, None, 0)).size)
 
-        Stage k cost depends on (x_k, u^a_k, u^a_{k-1}) with u^a_{-1} = the previous applied
-        input; terminal cost on x_N.
-        """
-        x = self.rollout(u_flat, x0)
-        return self._agent_cost_along(a, x, u_flat, u_prev, P)
-
-    def _agent_cost_along(self, a, x, u_flat, u_prev, P):
-        ua = self.agent_u_block(u_flat, a).reshape(self.N, self.num_ua_d[a])
-        upa = u_prev[self.u_offsets[a]:self.u_offsets[a + 1]]
-        J = jnp.asarray(0.0, dtype=x.dtype)
-        for k in range(self.N):
-            fn = self.costs[a][k]
-            if fn is None:
-                continue
-            um = upa if k == 0 else ua[k - 1]
-            J = J + _call_stage(fn, x[k], ua[k], um, P)
-        if self.costs[a][self.N] is not None:
-            J = J + _call_term(self.costs[a][self.N], x[self.N], P)
-        return J
-
-    def eval_costs(self, u_flat, x0, u_prev, P=None):
-        """All agents' costs — the reference's ``f_J`` (``DGSQP.py:893``)."""
-        x = self.rollout(u_flat, x0)
-        return jnp.stack([self._agent_cost_along(a, x, u_flat, u_prev, P)
-                          for a in range(self.M)])
-
-    # -------------------------------------------------------------- constraints
     def _count_constraints(self):
-        """Probe constraint shapes with zeros to record the exact reference layout
-        (shared, then per-agent [nonlinear, input-box-ub, input-box-lb, state-box-ub,
-        state-box-lb] per stage; ``DGSQP.py:730-821``)."""
+        """Record the exact reference layout (shared, then per-agent [nonlinear,
+        input-box-ub, input-box-lb, state-box-ub, state-box-lb] per stage;
+        ``DGSQP.py:730-821``) and the per-block row offsets."""
         N, M = self.N, self.M
         self.n_cs = [0] * (N + 1)
         self.n_ca = [[0] * (N + 1) for _ in range(M)]
@@ -201,20 +221,20 @@ class GameProblem:
         x_z = np.zeros(self.n_q)
         u_z = np.zeros(self.n_u)
 
-        def probe_len(fn, *args):
-            out = fn(*args)
-            return int(np.asarray(out).size)
+        self._m_shared = [0] * (N + 1)   # rows of the nonlinear shared constraint at k
+        self._m_agent = [[0] * (N + 1) for _ in range(M)]
 
         for k in range(N):
             if self.shared_constraints[k] is not None:
-                fn = self.shared_constraints[k]
-                self.n_cs[k] = probe_len(lambda *A: _call_stage(fn, *A, None), x_z, u_z, u_z)
+                self._m_shared[k] = self._probe_rows(self.shared_constraints[k], x_z, u_z, u_z)
+            self.n_cs[k] = self._m_shared[k]
             for a in range(M):
                 n = 0
                 if self.agent_constraints[a][k] is not None:
-                    fn = self.agent_constraints[a][k]
                     ua_z = np.zeros(self.num_ua_d[a])
-                    n += probe_len(lambda *A: _call_stage(fn, *A, None), x_z, ua_z, ua_z)
+                    self._m_agent[a][k] = self._probe_rows(self.agent_constraints[a][k],
+                                                           x_z, ua_z, ua_z)
+                    n += self._m_agent[a][k]
                 n += len(self.input_ub_idxs[a]) + len(self.input_lb_idxs[a])
                 if k > 0:
                     n += len(self.state_ub_idxs[a]) + len(self.state_lb_idxs[a])
@@ -222,18 +242,98 @@ class GameProblem:
             self.n_c[k] = self.n_cs[k] + sum(self.n_ca[a][k] for a in range(M))
         # terminal
         if self.shared_constraints[N] is not None:
-            fn = self.shared_constraints[N]
-            self.n_cs[N] = probe_len(lambda xx: _call_term(fn, xx, None), x_z)
+            self._m_shared[N] = self._probe_rows(self.shared_constraints[N], x_z, None, None,
+                                                 terminal=True)
+        self.n_cs[N] = self._m_shared[N]
         for a in range(M):
             n = 0
             if self.agent_constraints[a][N] is not None:
-                fn = self.agent_constraints[a][N]
-                n += probe_len(lambda xx: _call_term(fn, xx, None), x_z)
+                self._m_agent[a][N] = self._probe_rows(self.agent_constraints[a][N], x_z,
+                                                       None, None, terminal=True)
+                n += self._m_agent[a][N]
             n += len(self.state_ub_idxs[a]) + len(self.state_lb_idxs[a])
             self.n_ca[a][N] = n
         self.n_c[N] = self.n_cs[N] + sum(self.n_ca[a][N] for a in range(M))
         self.n_c_total = int(sum(self.n_c))
 
+        # block start offsets
+        self._stage_off = np.concatenate([[0], np.cumsum(self.n_c)]).astype(int)
+
+    def _block_offsets(self, a: int, k: int):
+        """Row offsets of agent a's sub-blocks at stage k: (nl, iub, ilb, sub, slb)."""
+        base = self._stage_off[k] + self.n_cs[k] + sum(self.n_ca[b][k] for b in range(a))
+        nl = base
+        iub = nl + self._m_agent[a][k]
+        ilb = iub + (len(self.input_ub_idxs[a]) if k < self.N else 0)
+        sub = ilb + (len(self.input_lb_idxs[a]) if k < self.N else 0)
+        slb = sub + (len(self.state_ub_idxs[a]) if (k > 0 or k == self.N) else 0)
+        return nl, iub, ilb, sub, slb
+
+    def _build_plan(self):
+        """Precompute vmap groups and destination index maps for vectorized assembly."""
+        N, M = self.N, self.M
+
+        # shared constraint groups over stages 0..N-1
+        self._shared_groups = []
+        for fn, ks in _group_stages(self.shared_constraints[:N]):
+            m = self._m_shared[ks[0]]
+            dest = np.stack([self._stage_off[k] + np.arange(m) for k in ks])
+            self._shared_groups.append((fn, jnp.asarray(ks), jnp.asarray(dest)))
+
+        # agent nonlinear constraint groups
+        self._agent_groups = [[] for _ in range(M)]
+        for a in range(M):
+            for fn, ks in _group_stages(self.agent_constraints[a][:N]):
+                m = self._m_agent[a][ks[0]]
+                dest = np.stack([self._block_offsets(a, k)[0] + np.arange(m) for k in ks])
+                self._agent_groups[a].append((fn, jnp.asarray(ks), jnp.asarray(dest)))
+
+        # box destination maps
+        self._iub_dest, self._ilb_dest = [], []
+        self._sub_dest, self._slb_dest = [], []
+        for a in range(M):
+            if len(self.input_ub_idxs[a]):
+                self._iub_dest.append(jnp.asarray(np.stack(
+                    [self._block_offsets(a, k)[1] + np.arange(len(self.input_ub_idxs[a]))
+                     for k in range(N)])))
+            else:
+                self._iub_dest.append(None)
+            if len(self.input_lb_idxs[a]):
+                self._ilb_dest.append(jnp.asarray(np.stack(
+                    [self._block_offsets(a, k)[2] + np.arange(len(self.input_lb_idxs[a]))
+                     for k in range(N)])))
+            else:
+                self._ilb_dest.append(None)
+            if len(self.state_ub_idxs[a]):
+                rows = [self._block_offsets(a, k)[3] + np.arange(len(self.state_ub_idxs[a]))
+                        for k in list(range(1, N)) + [N]]
+                self._sub_dest.append(jnp.asarray(np.stack(rows)))
+            else:
+                self._sub_dest.append(None)
+            if len(self.state_lb_idxs[a]):
+                rows = [self._block_offsets(a, k)[4] + np.arange(len(self.state_lb_idxs[a]))
+                        for k in list(range(1, N)) + [N]]
+                self._slb_dest.append(jnp.asarray(np.stack(rows)))
+            else:
+                self._slb_dest.append(None)
+
+        # terminal nonlinear rows
+        self._term_shared_dest = jnp.asarray(self._stage_off[N] + np.arange(self._m_shared[N])) \
+            if self._m_shared[N] else None
+        self._term_agent_dest = []
+        for a in range(M):
+            if self._m_agent[a][N]:
+                self._term_agent_dest.append(jnp.asarray(
+                    self._block_offsets(a, N)[0] + np.arange(self._m_agent[a][N])))
+            else:
+                self._term_agent_dest.append(None)
+
+        # cost groups
+        self._cost_groups = []
+        for a in range(M):
+            self._cost_groups.append(_group_stages(self.costs[a][:N]))
+
+    # -------------------------------------------------------------- constraints
     def eval_constraints(self, u_flat, x0, u_prev, P=None):
         """Stacked inequality constraints g(u) = C(x(u), u) <= 0 in reference order
         (``DGSQP.py:803-821``).  Returns (n_c_total,)."""
@@ -243,47 +343,79 @@ class GameProblem:
     def _constraints_along(self, x, u_flat, u_prev, P):
         N, M = self.N, self.M
         u_mat = self.u_to_stage(u_flat)
+        um_mat = jnp.concatenate([u_prev[None], u_mat[:-1]], axis=0)   # u_{k-1} per stage
         ua = [self.agent_u_block(u_flat, a).reshape(N, self.num_ua_d[a]) for a in range(M)]
-        upa = [u_prev[self.u_offsets[a]:self.u_offsets[a + 1]] for a in range(M)]
-        out = []
-        for k in range(N):
-            if self.shared_constraints[k] is not None:
-                um = u_prev if k == 0 else u_mat[k - 1]
-                out.append(jnp.atleast_1d(
-                    _call_stage(self.shared_constraints[k], x[k], u_mat[k], um, P)))
-            for a in range(M):
-                if self.agent_constraints[a][k] is not None:
-                    um = upa[a] if k == 0 else ua[a][k - 1]
-                    out.append(jnp.atleast_1d(
-                        _call_stage(self.agent_constraints[a][k], x[k], ua[a][k], um, P)))
-                if len(self.input_ub_idxs[a]) > 0:
-                    idx = self.input_ub_idxs[a]
-                    out.append(ua[a][k][idx] - self.input_ub[a][idx])
-                if len(self.input_lb_idxs[a]) > 0:
-                    idx = self.input_lb_idxs[a]
-                    out.append(self.input_lb[a][idx] - ua[a][k][idx])
-                if k > 0:
-                    if len(self.state_ub_idxs[a]) > 0:
-                        idx = self.state_ub_idxs[a] + self.q_offsets[a]
-                        out.append(x[k][idx] - self.state_ub[a][self.state_ub_idxs[a]])
-                    if len(self.state_lb_idxs[a]) > 0:
-                        idx = self.state_lb_idxs[a] + self.q_offsets[a]
-                        out.append(self.state_lb[a][self.state_lb_idxs[a]] - x[k][idx])
-        # terminal stage
-        if self.shared_constraints[N] is not None:
-            out.append(jnp.atleast_1d(_call_term(self.shared_constraints[N], x[N], P)))
+        uma = [jnp.concatenate([u_prev[self.u_offsets[a]:self.u_offsets[a + 1]][None],
+                                ua[a][:-1]], axis=0) for a in range(M)]
+
+        g = jnp.zeros(self.n_c_total, dtype=x.dtype)
+
+        # shared nonlinear rows (vmapped per group)
+        for fn, ks, dest in self._shared_groups:
+            vals = jax.vmap(lambda k: jnp.atleast_1d(
+                _call_stage(fn, x[k], u_mat[k], um_mat[k], P, k)))(ks)
+            g = g.at[dest.reshape(-1)].set(vals.reshape(-1))
+
+        # agent nonlinear rows
         for a in range(M):
-            if self.agent_constraints[a][N] is not None:
-                out.append(jnp.atleast_1d(_call_term(self.agent_constraints[a][N], x[N], P)))
-            if len(self.state_ub_idxs[a]) > 0:
+            for fn, ks, dest in self._agent_groups[a]:
+                vals = jax.vmap(lambda k: jnp.atleast_1d(
+                    _call_stage(fn, x[k], ua[a][k], uma[a][k], P, k)))(ks)
+                g = g.at[dest.reshape(-1)].set(vals.reshape(-1))
+
+        # box rows (pure slicing)
+        for a in range(M):
+            if self._iub_dest[a] is not None:
+                idx = self.input_ub_idxs[a]
+                vals = ua[a][:, idx] - self.input_ub[a][idx]
+                g = g.at[self._iub_dest[a].reshape(-1)].set(vals.reshape(-1))
+            if self._ilb_dest[a] is not None:
+                idx = self.input_lb_idxs[a]
+                vals = self.input_lb[a][idx] - ua[a][:, idx]
+                g = g.at[self._ilb_dest[a].reshape(-1)].set(vals.reshape(-1))
+            if self._sub_dest[a] is not None:
                 idx = self.state_ub_idxs[a] + self.q_offsets[a]
-                out.append(x[N][idx] - self.state_ub[a][self.state_ub_idxs[a]])
-            if len(self.state_lb_idxs[a]) > 0:
+                vals = x[1:, idx] - self.state_ub[a][self.state_ub_idxs[a]]
+                g = g.at[self._sub_dest[a].reshape(-1)].set(vals.reshape(-1))
+            if self._slb_dest[a] is not None:
                 idx = self.state_lb_idxs[a] + self.q_offsets[a]
-                out.append(self.state_lb[a][self.state_lb_idxs[a]] - x[N][idx])
-        if not out:
-            return jnp.zeros((0,), dtype=u_flat.dtype)
-        return jnp.concatenate(out)
+                vals = self.state_lb[a][self.state_lb_idxs[a]] - x[1:, idx]
+                g = g.at[self._slb_dest[a].reshape(-1)].set(vals.reshape(-1))
+
+        # terminal nonlinear rows
+        if self._term_shared_dest is not None:
+            vals = jnp.atleast_1d(_call_term(self.shared_constraints[N], x[N], P, N))
+            g = g.at[self._term_shared_dest].set(vals)
+        for a in range(M):
+            if self._term_agent_dest[a] is not None:
+                vals = jnp.atleast_1d(_call_term(self.agent_constraints[a][N], x[N], P, N))
+                g = g.at[self._term_agent_dest[a]].set(vals)
+        return g
+
+    # ------------------------------------------------------------------- costs
+    def agent_cost(self, a: int, u_flat, x0, u_prev, P=None):
+        """J^a(u) — scalar cost of agent a along the rollout (reference ``DGSQP.py:656-670``)."""
+        x = self.rollout(u_flat, x0)
+        return self._agent_cost_along(a, x, u_flat, u_prev, P)
+
+    def _agent_cost_along(self, a, x, u_flat, u_prev, P):
+        ua = self.agent_u_block(u_flat, a).reshape(self.N, self.num_ua_d[a])
+        upa = u_prev[self.u_offsets[a]:self.u_offsets[a + 1]]
+        uma = jnp.concatenate([upa[None], ua[:-1]], axis=0)
+        J = jnp.asarray(0.0, dtype=x.dtype)
+        for fn, ks in self._cost_groups[a]:
+            vals = jax.vmap(lambda k: _call_stage(fn, x[k], ua[k], uma[k], P, k))(
+                jnp.asarray(ks))
+            J = J + jnp.sum(vals)
+        if self.costs[a][self.N] is not None:
+            J = J + _call_term(self.costs[a][self.N], x[self.N], P, self.N)
+        return J
+
+    def eval_costs(self, u_flat, x0, u_prev, P=None):
+        """All agents' costs — the reference's ``f_J`` (``DGSQP.py:893``)."""
+        x = self.rollout(u_flat, x0)
+        return jnp.stack([self._agent_cost_along(a, x, u_flat, u_prev, P)
+                          for a in range(self.M)])
 
     # --------------------------------------------------- condensed derivatives
     def eval_q(self, u_flat, x0, u_prev, P=None):
