@@ -100,6 +100,11 @@ class DGSQPV2:
         self.u_prev = np.zeros(self.n_u)
         self.state_input_predictions = [VehiclePrediction() for _ in range(self.M)]
 
+        # Optional approximate-game hook: fn(u, x0) -> parameter pytree, re-evaluated per
+        # iteration ('always') or once per solve ('once').  Set by the frenet-approx
+        # subclass (reference DGSQP_v2_frenet_approx.py:727-786).
+        self._approx_update = None
+
         self._solve_jit = jax.jit(self._solve_core)
         self._solve_batch_jit = jax.jit(jax.vmap(self._solve_core))
         self.initialized = True
@@ -200,6 +205,9 @@ class DGSQPV2:
         rel_tol_req = 3
         mem_size = p.nms_memory_size
 
+        if self._approx_update is not None:
+            P = self._approx_update(u0, x0)
+
         # initial merit memory entry (reference DGSQP_v2.py:342-343)
         q_i0, G_i0, g_i0 = self._eval_lite(u0, l0, x0, up, P)
         phi0 = self._phi(l0, jnp.maximum(0.0, g_i0), q_i0, G_i0, g_i0,
@@ -219,7 +227,12 @@ class DGSQPV2:
         def body(c: _CarryV2) -> _CarryV2:
             running = c.status == RUNNING
 
-            Q, q, G, g = self._eval_full(c.u, c.l, x0, up, P)
+            if self._approx_update is not None and \
+                    self.params.approximation_eval == 'always':
+                P_i = self._approx_update(c.u, x0)
+            else:
+                P_i = P
+            Q, q, G, g = self._eval_full(c.u, c.l, x0, up, P_i)
             d = q + G.T @ c.l
             p_feas = jnp.maximum(0.0, jnp.max(g))
             comp = jnp.max(jnp.abs(g * c.l))
@@ -273,7 +286,7 @@ class DGSQPV2:
             # full-step trial against the non-monotone reference (DGSQP_v2.py:517-531)
             u_full = src_u + src_du
             l_full = src_l + src_dl
-            q_f, G_f, g_f = self._eval_lite(u_full, l_full, x0, up, P)
+            q_f, G_f, g_f = self._eval_lite(u_full, l_full, x0, up, P_i)
             s_f = jnp.maximum(0.0, g_f)
             phi_full = self._phi(l_full, s_f, q_f, G_f, g_f, jnp.asarray(1.0, dtype), use_l1)
             R = (1 - p.merit_decrease) * mem_max(c.memory)
@@ -292,7 +305,7 @@ class DGSQPV2:
 
             ls_enabled = (m_step & ~accept_full) | plain_ls
             u_ls, l_ls, phi_ls = self._line_search(ls_enabled, ls_u, ls_du, ls_l, ls_dl,
-                                                   ls_s, ls_mu, mem_max(c.memory), x0, up, P)
+                                                   ls_s, ls_mu, mem_max(c.memory), x0, up, P_i)
 
             # ---------- select the next iterate
             u_n = jnp.where(d_step, u_d,
@@ -380,6 +393,8 @@ class DGSQPV2:
                         stat=jnp.asarray(jnp.inf, dtype))
         c = jax.lax.while_loop(cond, body, init)
 
+        if self._approx_update is not None:
+            P = self._approx_update(c.u, x0)
         q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=False)
         d = q + G.T @ c.l
         p_feas = jnp.maximum(0.0, jnp.max(g))

@@ -206,6 +206,14 @@ class GameProblem:
 
     # -------------------------------------------------- constraint bookkeeping
     def _probe_rows(self, fn, x, u, um, terminal=False):
+        # Parameterized constraints whose shape cannot be probed with P=None declare their
+        # row count via an ``n_out`` attribute (used by the approximate-game closures).
+        n_out = getattr(fn, 'n_out', None)
+        if n_out is not None:
+            return int(n_out)
+        probe = getattr(fn, 'probe_rows', None)
+        if probe is not None:
+            return int(probe(x, u, um))
         if terminal:
             return int(np.asarray(_call_term(fn, x, None, 0)).size)
         return int(np.asarray(_call_stage(fn, x, u, um, None, 0)).size)
