@@ -218,3 +218,42 @@ class PATHMCP:
 
     def get_prediction(self):
         return self.state_input_predictions
+
+
+class PATHMCPFrenetApprox(PATHMCP):
+    """MCP baseline on the approximate (MPCC) game.
+
+    Stands in for ``PATHMCP_frenet_approx`` (``/root/reference/DGSQP/solvers/
+    PATHMCP_frenet_approx.py``, 889 LoC) which re-evaluates the contouring/boundary
+    approximations inside the Julia F/J callbacks: here the parameter pytree is recomputed
+    from the current iterate once per Newton iteration.
+    """
+
+    def __init__(self, joint_dynamics, costs, agent_constraints, shared_constraints,
+                 bounds, params=None, print_method=print, q_c: float = 0.1,
+                 q_l: float = 1000.0, dtype=None):
+        from dgsqp_tpu.solvers.dgsqp_v2_frenet import DGSQPV2FrenetApprox
+        from dgsqp_tpu.solvers.solver_types import DGSQPV2Params
+        # Reuse the frenet-approx cost/constraint augmentation machinery by building a
+        # donor solver, then lift its problem + approx hook into this MCP solver.
+        params = params or __import__('dgsqp_tpu.solvers.solver_types',
+                                      fromlist=['PATHMCPParams']).PATHMCPParams()
+        donor = DGSQPV2FrenetApprox(joint_dynamics, costs, agent_constraints,
+                                    shared_constraints, bounds,
+                                    DGSQPV2Params(N=params.N, dt=params.dt),
+                                    print_method=None, q_c=q_c, q_l=q_l, dtype=dtype)
+        super().__init__(joint_dynamics, donor.problem.costs,
+                         donor.problem.agent_constraints,
+                         donor.problem.shared_constraints, bounds, params,
+                         print_method=print_method, dtype=dtype)
+        self._donor = donor
+        self._approx_update = donor._evaluate_mpcc
+        # rebuild the jitted cores with the approximation threaded through
+        import jax as _jax
+
+        def core(u0, l0, x0, up, P=None):
+            P = self._approx_update(u0, x0)
+            return PATHMCP._solve_core(self, u0, l0, x0, up, P)
+
+        self._solve_jit = _jax.jit(core)
+        self._solve_batch_jit = _jax.jit(_jax.vmap(core))

@@ -100,3 +100,93 @@ def get_track(track_file: str):
     else:
         raise NotImplementedError(f"Unknown track save mode {data['save_mode']}")
     return track
+
+
+class RacelineInterpolator:
+    """Time-parametrized raceline: callable t -> state columns, plus s->t lookup.
+
+    TPU-native stand-in for the reference's tuple of CasADi linear interpolants
+    (``track_lib.py:124-143``); evaluation is vectorized ``jnp.interp`` per channel.
+    Columns: [x, y, psi, v_long, v_tran, psidot, e_psi, s, e_y].
+    """
+
+    def __init__(self, T: np.ndarray, mat: np.ndarray):
+        self.T = np.asarray(T, dtype=np.float64)
+        self.mat = np.asarray(mat, dtype=np.float64)
+
+    def __call__(self, t):
+        import jax.numpy as jnp
+        t = jnp.asarray(t)
+        return [jnp.interp(t, self.T, self.mat[:, i]) for i in range(self.mat.shape[1])]
+
+    def s2t(self, s):
+        import jax.numpy as jnp
+        return jnp.interp(jnp.asarray(s), self.mat[:, 7], self.T)
+
+
+def load_mpclab_raceline(file_path, track_name, time_scale: float = 1.0):
+    """Load an mpclab .npz raceline and build two-lap interpolators
+    (reference ``track_lib.py:124-143``).  Returns (raceline, s2t, raceline_mat)."""
+    track = get_track(track_name)
+    f = np.load(file_path)
+    mat = np.vstack((f['x'], f['y'], f['psi'], f['v_long'] / time_scale,
+                     f['v_tran'] / time_scale, f['psidot'] / time_scale,
+                     f['e_psi'], f['s'], f['e_y'])).T
+    T = f['t'] * time_scale
+
+    mat2 = mat.copy()
+    mat2[:, 7] += track.track_length
+    T2 = T + T[-1]
+    mat_two = np.vstack((mat, mat2[1:]))
+    T_two = np.append(T, T2[1:])
+    interp = RacelineInterpolator(T_two, mat_two)
+    return interp, interp.s2t, mat
+
+
+def load_tum_raceline(file_path, track_name, tenth_scale: bool = False,
+                      time_scale: float = 1.0, segment=None, resample_resolution=None):
+    """Load a TUM global-raceline csv (``s;x;y;psi;kappa;v;a``) and convert to local
+    coordinates against the named track (reference ``track_lib.py:145-213``)."""
+    import csv as _csv
+
+    track = get_track(track_name)
+    size_scale = 0.1 if tenth_scale else 1.0
+    mat, s_raw = [], []
+    with open(file_path, 'r') as f:
+        for d in _csv.reader(f, delimiter=';'):
+            if '#' in d[0]:
+                continue
+            _s, _x, _y, _psi, _k, _v, _a = [float(v) for v in d]
+            x, y = _x * size_scale, _y * size_scale
+            v = _v * size_scale / time_scale
+            psi = _psi + np.pi / 2
+            sey = np.asarray(track.global_to_local(np.array([x, y, psi])))
+            s, ey, epsi = float(sey[0]), float(sey[1]), float(sey[2])
+            if mat and s < mat[-1][7]:
+                s += track.track_length
+            mat.append([x, y, psi, v, 0.0, 0.0, epsi, s, ey])
+            s_raw.append(_s * size_scale)
+    mat = np.array(mat)
+    T = [0.0]
+    for k in range(len(s_raw) - 1):
+        T.append(T[-1] + (s_raw[k + 1] - s_raw[k]) / mat[k, 3])
+    T = np.array(T)
+
+    if not resample_resolution:
+        resample_resolution = int(len(s_raw) / s_raw[-1])
+
+    if segment:
+        interp0 = RacelineInterpolator(T, mat)
+        n = int((segment[1] - segment[0]) * resample_resolution)
+        Ts = np.interp(np.linspace(segment[0], segment[1], n), mat[:, 7], T)
+        T_seg = Ts - Ts[0]
+        mat_seg = np.stack([np.interp(Ts, T, mat[:, i]) for i in range(mat.shape[1])], axis=-1)
+        mat_seg[:, 7] -= segment[0]
+        interp = RacelineInterpolator(T_seg, mat_seg)
+        return interp, interp.s2t, mat_seg
+
+    mat2 = mat.copy()
+    mat2[:, 7] += track.track_length
+    T2 = T + T[-1]
+    interp = RacelineInterpolator(np.append(T, T2[1:]), np.vstack((mat, mat2[1:])))
+    return interp, interp.s2t, mat
