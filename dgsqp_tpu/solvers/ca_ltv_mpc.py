@@ -36,12 +36,18 @@ from dgsqp_tpu.solvers.solver_types import CALTVMPCParams
 from dgsqp_tpu.types import VehiclePrediction, VehicleState
 
 
-def _call1(fn, x, P):
-    return fn(x, P) if _n_args(fn) >= 2 else fn(x)
+def _call1(fn, x, P, k=None):
+    n = _n_args(fn)
+    if getattr(fn, 'stage_indexed', False):
+        return fn(x, P, k)
+    return fn(x, P) if n >= 2 else fn(x)
 
 
-def _call2(fn, q, u, P):
-    return fn(q, u, P) if _n_args(fn) >= 3 else fn(q, u)
+def _call2(fn, q, u, P, k=None):
+    n = _n_args(fn)
+    if getattr(fn, 'stage_indexed', False):
+        return fn(q, u, P, k)
+    return fn(q, u, P) if n >= 3 else fn(q, u)
 
 
 class CA_LTV_MPC:
@@ -92,9 +98,13 @@ class CA_LTV_MPC:
         cs = constraints.get('state_input', [None] * (self.N + 1))
         for k in range(self.N + 1):
             if cs[k] is not None:
-                out = _call2(cs[k], np.zeros(self.n_q), np.zeros(self.n_u),
-                             np.zeros(1024))
-                self.n_c[k] = int(np.asarray(out).size)
+                n_out = getattr(cs[k], 'n_out', None)
+                if n_out is not None:
+                    self.n_c[k] = int(n_out)
+                else:
+                    out = _call2(cs[k], np.zeros(self.n_q), np.zeros(self.n_u),
+                                 np.zeros(1024), k)
+                    self.n_c[k] = int(np.asarray(out).size)
 
         self.u_ws = np.zeros((self.N + 1, self.n_u))
         self.du_ws = np.zeros((self.N, self.n_u))
@@ -148,8 +158,8 @@ class CA_LTV_MPC:
         h = jnp.zeros(n_dec, dtype)
         reg = 1e-9
 
-        def quad(fn, x_ref, Pp):
-            val_fn = lambda xx: _call1(fn, xx, Pp)
+        def quad(fn, x_ref, Pp, k=None):
+            val_fn = lambda xx: _call1(fn, xx, Pp, k)
             M = jax.hessian(val_fn)(x_ref)
             m = jax.grad(val_fn)(x_ref)
             return M, m - M @ x_ref
@@ -157,11 +167,11 @@ class CA_LTV_MPC:
         for k in range(N + 1):
             i0 = k * n_z
             if self.costs['state'][k] is not None:
-                M, m = quad(self.costs['state'][k], q_ref[k], P)
+                M, m = quad(self.costs['state'][k], q_ref[k], P, k)
                 H = H.at[i0:i0 + n_q, i0:i0 + n_q].add(M + reg * jnp.eye(n_q, dtype=dtype))
                 h = h.at[i0:i0 + n_q].add(m)
             if self.costs['input'][k] is not None:
-                M, m = quad(self.costs['input'][k], u_ref[k], P)
+                M, m = quad(self.costs['input'][k], u_ref[k], P, k)
                 H = H.at[i0 + n_q:i0 + n_z, i0 + n_q:i0 + n_z].add(
                     M + reg * jnp.eye(n_u, dtype=dtype))
                 h = h.at[i0 + n_q:i0 + n_z].add(m)
@@ -169,7 +179,7 @@ class CA_LTV_MPC:
         for k in range(N):
             i0 = n_z * (N + 1) + k * n_u
             if rate_costs[k] is not None:
-                M, m = quad(rate_costs[k], du[k], P)
+                M, m = quad(rate_costs[k], du[k], P, k)
                 H = H.at[i0:i0 + n_u, i0:i0 + n_u].add(M + reg * jnp.eye(n_u, dtype=dtype))
                 h = h.at[i0:i0 + n_u].add(m)
         H = H + 1e-10 * jnp.eye(n_dec, dtype=dtype)
@@ -240,9 +250,9 @@ class CA_LTV_MPC:
                 continue
             u_k = u_ref[k]  # constraint at stage k uses (q_k, u_{k-1}) like the cost rows
             fn = cs[k]
-            val = jnp.atleast_1d(_call2(fn, q_ref[k], u_k, P))
-            Jq = jax.jacfwd(lambda qq: jnp.atleast_1d(_call2(fn, qq, u_k, P)))(q_ref[k])
-            Ju = jax.jacfwd(lambda uu: jnp.atleast_1d(_call2(fn, q_ref[k], uu, P)))(u_k)
+            val = jnp.atleast_1d(_call2(fn, q_ref[k], u_k, P, k))
+            Jq = jax.jacfwd(lambda qq: jnp.atleast_1d(_call2(fn, qq, u_k, P, k)))(q_ref[k])
+            Ju = jax.jacfwd(lambda uu: jnp.atleast_1d(_call2(fn, q_ref[k], uu, P, k)))(u_k)
             i0 = k * n_z
             row = jnp.zeros((val.shape[0], n_dec), dtype)
             row = row.at[:, i0:i0 + n_q].set(Jq)
