@@ -280,8 +280,8 @@ class CA_LTV_MPC:
                                              jnp.asarray(u_delay, self.dtype)))
             q0 = q_bar[-1]
 
-        q_ws = np.asarray(self._rollout(jnp.asarray(q0, self.dtype),
-                                        jnp.asarray(self.u_ws[1:], self.dtype)))
+        q_ws = np.array(self._rollout(jnp.asarray(q0, self.dtype),
+                                      jnp.asarray(self.u_ws[1:], self.dtype)))
         if self.wrapped_state_idxs is not None:
             for i, p in zip(self.wrapped_state_idxs, self.wrapped_state_periods):
                 q_ws[:, i] = np.unwrap(q_ws[:, i], period=p)
