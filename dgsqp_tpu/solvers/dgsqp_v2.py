@@ -202,7 +202,7 @@ class DGSQPV2:
         dtype = self.dtype
         use_l1 = p.merit_function in ('stat_l1', 'sum_obj_l1')
         xtol, ltol = p.p_tol, p.d_tol
-        rel_tol_req = 3
+        rel_tol_req = 10   # reference DGSQP_v2.py:86
         mem_size = p.nms_memory_size
 
         if self._approx_update is not None:

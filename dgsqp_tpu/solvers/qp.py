@@ -53,13 +53,40 @@ def _step_length(z, dz, frac=0.99):
     return jnp.minimum(1.0, frac * jnp.min(ratios))
 
 
-@partial(jax.jit, static_argnames=('max_iters',))
-def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50) -> QPSolution:
+def _ruiz_equilibrate(Q, A, iters: int = 3):
+    """Ruiz equilibration of the KKT block matrix [[Q, A'], [A, 0]].
+
+    Returns diagonal scalings (d_x, e_r) with the scaled data
+    ``Qs = Dx Q Dx``, ``As = Er A Dx`` having ~unit row/col inf-norms — the same
+    conditioning treatment OSQP applies before its ADMM (critical for float32 on TPU).
+    """
+    n = Q.shape[-1]
+    m = A.shape[-2]
+    d_x = jnp.ones(n, Q.dtype)
+    e_r = jnp.ones(m, Q.dtype)
+    for _ in range(iters):
+        Qs = Q * d_x[:, None] * d_x[None, :]
+        As = A * e_r[:, None] * d_x[None, :]
+        col_norm = jnp.sqrt(jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Qs), axis=0),
+                        jnp.max(jnp.abs(As), axis=0) if m else 0.0), 1e-8))
+        d_x = d_x / col_norm
+        if m:
+            As = A * e_r[:, None] * d_x[None, :]
+            row_norm = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(As), axis=1), 1e-8))
+            e_r = e_r / row_norm
+    return d_x, e_r
+
+
+@partial(jax.jit, static_argnames=('max_iters', 'scale'))
+def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
+             scale: bool = True) -> QPSolution:
     """Solve one QP instance.  ``vmap`` over leading axes of (Q, q, A, b) for batches.
 
     ``Q`` must be symmetric positive definite (the SQP layer guarantees this via
     ``regularized_convexification`` — the reference's ``_nearestPD`` + reg*I treatment,
-    ``DGSQP.py:232-239``).
+    ``DGSQP.py:232-239``).  With ``scale=True`` the problem is Ruiz-equilibrated first and
+    the solution/duals unscaled on return.
     """
     n = q.shape[-1]
     m = b.shape[-1]
@@ -71,6 +98,25 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50) -> QPSolution:
         x = -jax.scipy.linalg.cho_solve((L, True), q)
         return QPSolution(x, jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
                           jnp.asarray(True), jnp.asarray(0), jnp.asarray(0.0, dtype))
+
+    if scale:
+        d_x, e_r = _ruiz_equilibrate(Q, A)
+        Qs = Q * d_x[:, None] * d_x[None, :]
+        As = A * e_r[:, None] * d_x[None, :]
+        qs = q * d_x
+        bs = b * e_r
+        inner = solve_qp(Qs, qs, As, bs, tol, max_iters, scale=False)
+        x = inner.x * d_x
+        lam = inner.lam * e_r
+        # re-certify on the ORIGINAL data (the scaled residual is not the true one)
+        r_d = Q @ x + q + A.T @ lam
+        r_p = jnp.maximum(A @ x - b, 0.0)
+        comp = jnp.abs(lam * (A @ x - b))
+        res = jnp.maximum(jnp.max(jnp.abs(r_d)),
+                          jnp.maximum(jnp.max(r_p), jnp.max(comp)))
+        sc = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
+        ok = (res < 1e4 * tol * sc) & jnp.isfinite(res)
+        return QPSolution(x, lam, inner.t / jnp.maximum(e_r, 1e-30), ok, inner.iters, res)
 
     def residuals(x, lam, t):
         r_d = Q @ x + q + A.T @ lam
