@@ -58,6 +58,18 @@ class DynamicsModel:
         self.M = config.M
         self.h = self.dt / self.M
 
+        # additive process noise (reference dynamics_models.py:112-122): the discrete map
+        # gains fd_noisy(q, u, m) = fd(q, u) + sqrtm(cov) @ m
+        self.noise_sqrt = None
+        if config.noise:
+            if config.noise_cov is None:
+                raise RuntimeError('Noise covariance matrix not provided to dynamics model')
+            cov = np.asarray(config.noise_cov, dtype=np.float64)
+            if cov.ndim == 1:
+                cov = np.diag(cov)
+            from scipy.linalg import sqrtm
+            self.noise_sqrt = np.real(sqrtm(cov))
+
     # ------------------------------------------------------------ core dynamics
     @abstractmethod
     def fc(self, q, u):
@@ -93,6 +105,12 @@ class DynamicsModel:
             raise ValueError(f'Discretization method {method} not recognized')
         out, _ = jax.lax.scan(step, q, None, length=M)
         return out
+
+    def fd_noisy(self, q, u, m):
+        """Discrete step with additive process noise sample ``m`` (standard normal)."""
+        if self.noise_sqrt is None:
+            return self.fd(q, u)
+        return self.fd(q, u) + jnp.asarray(self.noise_sqrt) @ m
 
     # --------------------------------------------------------------- jacobians
     def fA(self, q, u):

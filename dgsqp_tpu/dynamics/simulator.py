@@ -27,7 +27,13 @@ class DynamicsSimulator:
         else:
             self.input_buffer = None
 
-    def step(self, state: VehicleState, T: Optional[float] = None):
+    def step(self, state: VehicleState, T: Optional[float] = None,
+             rng: Optional[np.random.Generator] = None):
+        if rng is not None and self.model.noise_sqrt is not None:
+            # inject one additive noise sample per step (fault-injection hook)
+            q, u = self.model.state2qu(state)
+            w = self.model.noise_sqrt @ rng.standard_normal(self.model.n_q)
+            self.model.qu2state(state, q + w, None)
         if self.input_buffer is not None:
             u = self.model.state2qu(state)[1]
             delayed = np.array([buf[0] for buf in self.input_buffer])

@@ -60,6 +60,8 @@ class _Carry(NamedTuple):
     p_feas: jnp.ndarray
     comp: jnp.ndarray
     stat: jnp.ndarray
+    B: jnp.ndarray      # BFGS Hessian approximation (unused when exact Hessians)
+    B_u: jnp.ndarray    # iterate at which B was last updated
 
 
 def _merit_phi(l, s, q, G, g, mu, use_l1: bool):
@@ -345,11 +347,35 @@ class DGSQP:
         def cond(c: _Carry):
             return c.status == RUNNING
 
+        use_bfgs = p.hessian_approximation == 'bfgs'
+
         def body(c: _Carry) -> _Carry:
             # Under vmap the loop runs while ANY game is active; finished games must freeze.
             running = c.status == RUNNING
 
-            Q, q, G, g, _ = self._eval_full(c.u, c.l, x0, up, P)
+            if use_bfgs:
+                # Damped BFGS update of the game Hessian (reference Nocedal proc. 18.2,
+                # ``DGSQP.py:535-557``): gradient map d(u) = q + G'l at fixed l.
+                q, G, g = self._eval_lite(c.u, c.l, x0, up, P)
+                d_now = q + G.T @ c.l
+                q_m, G_m, _ = self._eval_lite(c.B_u, c.l, x0, up, P)
+                d_prev = q_m + G_m.T @ c.l
+                y = d_now - d_prev
+                sv = c.u - c.B_u
+                Bs = regularized_convexification(c.B, 0.0) @ sv
+                sBs = jnp.dot(sv, Bs)
+                sy = jnp.dot(sv, y)
+                t = jnp.where(sy >= 0.2 * sBs, 1.0,
+                              0.8 * sBs / jnp.where(jnp.abs(sBs - sy) > 1e-300,
+                                                    sBs - sy, 1e-300))
+                r = t * y + (1 - t) * Bs
+                B_upd = c.B - jnp.outer(Bs, Bs) / jnp.where(jnp.abs(sBs) > 1e-300, sBs, 1e-300) \
+                    + jnp.outer(r, r) / jnp.maximum(jnp.dot(sv, r), 1e-300)
+                first = c.it == 0
+                valid = jnp.isfinite(B_upd).all() & (jnp.linalg.norm(sv) > 1e-14)
+                Q = jnp.where(first | ~valid, c.B, B_upd)
+            else:
+                Q, q, G, g, _ = self._eval_full(c.u, c.l, x0, up, P)
             d = q + G.T @ c.l
             p_feas = jnp.maximum(0.0, jnp.max(g)) if self.n_c > 0 else jnp.asarray(0.0, dtype)
             comp = jnp.max(jnp.abs(g * c.l)) if self.n_c > 0 else jnp.asarray(0.0, dtype)
@@ -378,6 +404,9 @@ class DGSQP:
             u_out = jnp.where(active, u_n, c.u)
             l_out = jnp.where(active, l_n, c.l)
 
+            B_next = jnp.where(use_bfgs & active, Q, c.B) if use_bfgs else c.B
+            B_u_next = jnp.where(use_bfgs & active, c.u, c.B_u) if use_bfgs else c.B_u
+
             # relative-tolerance convergence (reference DGSQP.py:453-462)
             small = (jnp.linalg.norm(u_out - c.u) < xtol / 2) & \
                     (jnp.linalg.norm(l_out - c.l) < ltol / 2)
@@ -397,13 +426,21 @@ class DGSQP:
             stat = jnp.where(running, stat, c.stat)
             rel_its = jnp.where(running, rel_its, c.rel_its)
             return _Carry(u_out, l_out, it_next, status, rel_its,
-                          qp_solves, p_feas, comp, stat)
+                          qp_solves, p_feas, comp, stat, B_next, B_u_next)
 
+        if use_bfgs:
+            Q0, _, _, _, _ = self.problem.evaluate(jnp.asarray(u0, dtype),
+                                                   jnp.asarray(l0, dtype), x0, up, P,
+                                                   hessian=True)
+            B0 = regularized_convexification(Q0, 0.0)
+        else:
+            B0 = jnp.zeros((0, 0), dtype)
         init = _Carry(u=jnp.asarray(u0, dtype), l=jnp.asarray(l0, dtype),
                       it=jnp.asarray(0), status=jnp.asarray(RUNNING, jnp.int32),
                       rel_its=jnp.asarray(0), qp_solves=jnp.asarray(0),
                       p_feas=jnp.asarray(jnp.inf, dtype), comp=jnp.asarray(jnp.inf, dtype),
-                      stat=jnp.asarray(jnp.inf, dtype))
+                      stat=jnp.asarray(jnp.inf, dtype),
+                      B=B0, B_u=jnp.asarray(u0, dtype) if use_bfgs else jnp.zeros((0,), dtype))
         c = jax.lax.while_loop(cond, body, init)
 
         # final KKT conditions at the returned iterate

@@ -70,13 +70,14 @@ class IBR:
         s0, s1 = self.ua_slices[a]
         idxs = self.br_idxs[a]
         prob = self.problem
+        embed = getattr(self, '_ps_embed', None)
 
         def cost_fn(ua):
-            uf = u_full.at[s0:s1].set(ua)
+            uf = embed(u_full, ua) if embed is not None else u_full.at[s0:s1].set(ua)
             return prob.agent_cost(a, uf, x0, up, P)
 
         def cons_fn(ua):
-            uf = u_full.at[s0:s1].set(ua)
+            uf = embed(u_full, ua) if embed is not None else u_full.at[s0:s1].set(ua)
             return prob.eval_constraints(uf, x0, up, P)[idxs]
 
         ua = u_full[s0:s1]
@@ -118,10 +119,59 @@ class IBR:
         kkt = jnp.max(jnp.abs(jax.grad(cost_fn)(ua_new) + G.T @ l_new))
         return u_full.at[s0:s1].set(ua_new), l_new, kkt
 
+    def _response_sensitivities(self, a: int, u_full, x0, up, P):
+        """Opponent best-response sensitivities S_o = d u_o / d u_a by the implicit function
+        theorem on each opponent's (cost-only) stationarity: S_o = -H_oo^{-1} H_oa.
+
+        Mirrors the reference's policy-sensitivity IBR (``IBR.py:642-657``); the reference
+        differentiates the full BR KKT incl. constraint terms, here the unconstrained
+        stationarity is used (constraint-multiplier terms dropped).
+        """
+        prob = self.problem
+        s0a, s1a = self.ua_slices[a]
+        sens = {}
+        for o in range(self.M):
+            if o == a:
+                continue
+            s0o, s1o = self.ua_slices[o]
+
+            def grad_o(uf):
+                return jax.grad(lambda uu: prob.agent_cost(o, uu, x0, up, P))(uf)[s0o:s1o]
+
+            H = jax.jacfwd(grad_o)(u_full)
+            H_oo = H[:, s0o:s1o]
+            H_oa = H[:, s0a:s1a]
+            n_o = s1o - s0o
+            S = -jnp.linalg.solve(H_oo + 1e-8 * jnp.eye(n_o, dtype=u_full.dtype), H_oa)
+            sens[o] = S
+        return sens
+
     def _solve_br(self, a: int, u_full, x0, up, P):
-        """Solve agent a's best response to tolerance with an inner SQP loop."""
+        """Solve agent a's best response to tolerance with an inner SQP loop.
+
+        With ``use_ps`` the opponents' inputs respond linearly to agent a's deviation
+        through the precomputed sensitivities (reference's sensitivity-augmented BR NLP,
+        ``IBR.py:665-713``).
+        """
         p = self.params
         m_a = len(self.problem.constraint_indices_for_agent(a))
+
+        if p.use_ps and self.M > 1:
+            sens = self._response_sensitivities(a, u_full, x0, up, P)
+            s0a, s1a = self.ua_slices[a]
+            ua_ref = u_full[s0a:s1a]
+            base_full = u_full
+
+            def embed(u_f, ua):
+                """Replace agent a's block and shift opponents by their linear response."""
+                out = u_f.at[s0a:s1a].set(ua)
+                for o, S in sens.items():
+                    s0o, s1o = self.ua_slices[o]
+                    out = out.at[s0o:s1o].set(base_full[s0o:s1o] + S @ (ua - ua_ref))
+                return out
+            self._ps_embed = embed
+        else:
+            self._ps_embed = None
 
         def cond(c):
             u_f, l_a, it, done = c
@@ -138,6 +188,7 @@ class IBR:
         l0 = jnp.zeros(m_a, self.dtype)
         u_f, l_a, it, done = jax.lax.while_loop(
             cond, body, (u_full, l0, jnp.asarray(0), jnp.asarray(False)))
+        self._ps_embed = None
         return u_f
 
     def _solve_core(self, u0, x0, up, P=None) -> IBRResult:

@@ -141,3 +141,20 @@ def test_watchdog_mode_runs():
     info = solver.solve([st1, st2])
     assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
     assert info['cond']['stat'] < 1e-6
+
+
+def test_bfgs_hessian_approximation():
+    """hessian_approximation='bfgs' (reference DGSQP.py:535-557) converges on the LQ game."""
+    solver = _integrator_game(gamma=0.2)
+    solver_bfgs = DGSQP(solver.joint_dynamics, solver.problem.costs,
+                        [None, None], None,
+                        {'ub': [VehicleState(v=__import__('dgsqp_tpu.types', fromlist=['BodyLinearVelocity']).BodyLinearVelocity(v_long=np.inf),
+                                             u=__import__('dgsqp_tpu.types', fromlist=['VehicleActuation']).VehicleActuation(u_a=50.0)) for _ in range(2)],
+                         'lb': [VehicleState(v=__import__('dgsqp_tpu.types', fromlist=['BodyLinearVelocity']).BodyLinearVelocity(v_long=-np.inf),
+                                             u=__import__('dgsqp_tpu.types', fromlist=['VehicleActuation']).VehicleActuation(u_a=-50.0)) for _ in range(2)]},
+                        DGSQPParams(N=N, dt=DT, reg=1e-6, p_tol=1e-7, d_tol=1e-7,
+                                    sqp_iters=100, hessian_approximation='bfgs'),
+                        print_method=None)
+    info = solver_bfgs.solve([VehicleState(), VehicleState()])
+    assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
+    assert info['cond']['stat'] < 1e-6

@@ -59,3 +59,15 @@ def test_single_sweep_runs():
     info = ibr.solve([VehicleState(), VehicleState()])
     assert np.isfinite(info['u_sol']).all()
     assert np.abs(info['u_sol']).max() > 0  # moved off the zero start
+
+
+def test_ps_ibr_runs():
+    joint, costs, bounds = _game(gamma=0.3)
+    from dgsqp_tpu.solvers.solver_types import IBRParams
+    ibr = IBR(joint, costs, [None, None], None, bounds,
+              IBRParams(N=N, dt=DT, ibr_iters=5, use_ps=True, p_tol=1e-6, d_tol=1e-6),
+              print_method=None)
+    ibr.set_warm_start(np.zeros((N, 2)))
+    info = ibr.solve([VehicleState(), VehicleState()])
+    assert np.isfinite(info['u_sol']).all()
+    assert np.abs(info['u_sol']).max() > 0
