@@ -118,26 +118,37 @@ class DGSQPV2:
         q, G, g, _ = self.problem.evaluate(u, l, x0, up, P, hessian=False)
         return q, G, g
 
-    def _phi(self, l, s, q, G, g, mu, use_l1: bool):
-        """Merit: 1/2||q + G'l||^2 + mu*sum(s) (v2 stat drops the complementarity term;
-        reference ``DGSQP_v2.py:1143-1148``)."""
+    def _phi(self, l, s, q, G, g, mu, use_l1: bool, obj=None):
+        """Merit (reference ``DGSQP_v2.py:1157-1166``):
+        'stat_l1':    1/2||q + G'l||^2 + mu*sum(s) (stat drops the complementarity term)
+        'sum_obj_l1': sum_a J^a + mu*sum(s) (requires ``obj``)."""
+        if self.params.merit_function == 'sum_obj_l1':
+            return obj + mu * jnp.sum(s)
         F = q + G.T @ l
         val = 0.5 * jnp.dot(F, F)
         if use_l1:
             val = val + mu * jnp.sum(s)
         return val
 
-    def _dphi(self, du, l, dl, s, Q, q, G, g, mu, use_l1: bool):
+    def _dphi(self, du, l, dl, s, Q, q, G, g, mu, use_l1: bool, dobj=None):
+        if self.params.merit_function == 'sum_obj_l1':
+            return dobj - mu * jnp.sum(s)
         F = q + G.T @ l
         d = jnp.dot(F, Q @ du + G.T @ dl)
         if use_l1:
             d = d - mu * jnp.sum(s)
         return d
 
-    def _get_mu(self, du, l, dl, s, Q, q, G, g):
+    def _obj_and_grad(self, u, x0, up, P):
+        """Sum of agents' costs and its u-gradient (for the sum_obj_l1 merit;
+        reference ``DGSQP_v2.py:1150-1152``)."""
+        fn = lambda uu: jnp.sum(self.problem.eval_costs(uu, x0, up, P))
+        return fn(u), jax.grad(fn)(u)
+
+    def _get_mu(self, du, l, dl, s, Q, q, G, g, dobj=None):
         if self.params.merit_parameter is not None:
             return jnp.asarray(self.params.merit_parameter, self.dtype)
-        d_c = self._dphi(du, l, dl, s, Q, q, G, g, 0.0, use_l1=True)
+        d_c = self._dphi(du, l, dl, s, Q, q, G, g, 0.0, use_l1=True, dobj=dobj)
         vio = jnp.sum(s)
         rho = 0.5
         # dtype-aware feasibility noise floor (see dgsqp._get_mu for rationale)
@@ -159,11 +170,18 @@ class DGSQPV2:
         """
         p = self.params
         use_l1 = p.merit_function in ('stat_l1', 'sum_obj_l1')
+        sum_obj = p.merit_function == 'sum_obj_l1'
 
         if p.merit_decrease_condition == 'armijo':
             Q0, q0, G0, g0 = self._eval_full(u, l, x0, up, P)
-            phi0 = self._phi(l, s, q0, G0, g0, mu, use_l1)
-            dphi0 = self._dphi(du, l, dl, jnp.maximum(0.0, g0), Q0, q0, G0, g0, mu, use_l1)
+            if sum_obj:
+                obj0, gobj0 = self._obj_and_grad(u, x0, up, P)
+                dobj0 = jnp.dot(gobj0, du)
+            else:
+                obj0, dobj0 = None, None
+            phi0 = self._phi(l, s, q0, G0, g0, mu, use_l1, obj=obj0)
+            dphi0 = self._dphi(du, l, dl, jnp.maximum(0.0, g0), Q0, q0, G0, g0, mu, use_l1,
+                               dobj=dobj0)
 
             def ref(alpha):
                 return phi0 + p.merit_decrease * alpha * dphi0
@@ -181,9 +199,10 @@ class DGSQPV2:
             l_try = l + alpha * dl
             q_t, G_t, g_t = self._eval_lite(u_try, l_try, x0, up, P)
             s_t = jnp.maximum(0.0, g_t)
-            phi_try = self._phi(l_try, s_t, q_t, G_t, g_t, mu, use_l1)
+            obj_t = jnp.sum(self.problem.eval_costs(u_try, x0, up, P)) if sum_obj else None
+            phi_try = self._phi(l_try, s_t, q_t, G_t, g_t, mu, use_l1, obj=obj_t)
             phi1_try = self._phi(l_try, s_t, q_t, G_t, g_t, jnp.asarray(1.0, self.dtype),
-                                 use_l1)
+                                 use_l1, obj=obj_t)
             ok = phi_try <= ref(alpha)
             u_n = jnp.where(done, u_t, u_try)
             l_n = jnp.where(done, l_t, l_try)
@@ -210,8 +229,11 @@ class DGSQPV2:
 
         # initial merit memory entry (reference DGSQP_v2.py:342-343)
         q_i0, G_i0, g_i0 = self._eval_lite(u0, l0, x0, up, P)
+        sum_obj = p.merit_function == 'sum_obj_l1'
+        obj_0 = jnp.sum(self.problem.eval_costs(jnp.asarray(u0, dtype), x0, up, P)) \
+            if sum_obj else None
         phi0 = self._phi(l0, jnp.maximum(0.0, g_i0), q_i0, G_i0, g_i0,
-                         jnp.asarray(1.0, dtype), use_l1)
+                         jnp.asarray(1.0, dtype), use_l1, obj=obj_0)
         memory0 = jnp.full((mem_size,), -jnp.inf, dtype).at[0].set(phi0)
 
         def mem_max(memory):
@@ -254,7 +276,12 @@ class DGSQPV2:
 
             s = jnp.maximum(0.0, g)
             ds = jnp.maximum(0.0, g + G @ du) - s
-            mu = self._get_mu(du, c.l, dl, s, Q, q, G, g)
+            if sum_obj:
+                _, gobj_c = self._obj_and_grad(c.u, x0, up, P_i)
+                dobj_c = jnp.dot(gobj_c, du)
+            else:
+                dobj_c = None
+            mu = self._get_mu(du, c.l, dl, s, Q, q, G, g, dobj=dobj_c)
 
             if p.nms:
                 qp_fail_recover = ~qp_ok & c.ck_valid
@@ -288,7 +315,9 @@ class DGSQPV2:
             l_full = src_l + src_dl
             q_f, G_f, g_f = self._eval_lite(u_full, l_full, x0, up, P_i)
             s_f = jnp.maximum(0.0, g_f)
-            phi_full = self._phi(l_full, s_f, q_f, G_f, g_f, jnp.asarray(1.0, dtype), use_l1)
+            obj_f = jnp.sum(self.problem.eval_costs(u_full, x0, up, P_i)) if sum_obj else None
+            phi_full = self._phi(l_full, s_f, q_f, G_f, g_f, jnp.asarray(1.0, dtype), use_l1,
+                                 obj=obj_f)
             R = (1 - p.merit_decrease) * mem_max(c.memory)
             accept_full = m_step & (phi_full <= R)
 

@@ -79,3 +79,16 @@ def test_v2_non_nms_mode():
                      print_method=None)
     info = solver.solve([VehicleState(), VehicleState()])
     assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
+
+
+def test_v2_sum_obj_merit():
+    """merit_function='sum_obj_l1' (reference DGSQP_v2.py:1161-1164) converges."""
+    joint, costs, shared_list, bounds = _game()
+    solver = DGSQPV2(joint, costs, [None, None], shared_list, bounds,
+                     DGSQPV2Params(N=N, dt=DT, reg=1e1, nms=True, sqp_iters=200,
+                                   p_tol=1e-6, d_tol=1e-6,
+                                   merit_function='sum_obj_l1',
+                                   merit_decrease_condition='armijo'),
+                     print_method=None)
+    info = solver.solve([VehicleState(), VehicleState()])
+    assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
