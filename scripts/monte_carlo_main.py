@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Monte-Carlo study dispatcher.
+
+TPU-native counterpart of the reference runner
+(``/root/reference/scripts/comparison_study_barc/monte_carlo_main.py:8-124``): one argparse
+entry point dispatching {scenario} x {solver} x {formulation}, except that the reference's
+per-sample Python loop with ``--start_idx`` resume becomes a single batched, sharded solve.
+
+Examples:
+    python scripts/monte_carlo_main.py --scenario chicane --solver dgsqp --n 200
+    python scripts/monte_carlo_main.py --scenario chicane --solver dgsqp_v2 --n 500
+    python scripts/monte_carlo_main.py --scenario merge --solver dgsqp --n 100
+    python scripts/monte_carlo_main.py --scenario agents --agents 3 --solver dgsqp
+    python scripts/monte_carlo_main.py --scenario chicane --formulation approximate
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--scenario', default='chicane',
+                    choices=['chicane', 'curve', 'merge', 'agents'])
+    ap.add_argument('--formulation', default='exact', choices=['exact', 'approximate'])
+    ap.add_argument('--solver', default='dgsqp',
+                    choices=['dgsqp', 'dgsqp_v2', 'algames', 'mcp'])
+    ap.add_argument('--n', type=int, default=200, help='number of Monte-Carlo samples')
+    ap.add_argument('--N', type=int, default=25, help='horizon length')
+    ap.add_argument('--theta', type=float, default=45.0, help='track swept angle (deg)')
+    ap.add_argument('--agents', type=int, default=3, help='agent count (agents scenario)')
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--sqp_iters', type=int, default=50)
+    ap.add_argument('--p_tol', type=float, default=1e-3)
+    ap.add_argument('--d_tol', type=float, default=1e-3)
+    ap.add_argument('--merit_function', default='stat_l1')
+    ap.add_argument('--merit_decrease_condition', default='armijo')
+    ap.add_argument('--eval_type', default='always', choices=['always', 'once'])
+    ap.add_argument('--no_nms', action='store_true')
+    ap.add_argument('--reg_init', type=float, default=None)
+    ap.add_argument('--reg_decay', type=float, default=None)
+    ap.add_argument('--out', default='results')
+    ap.add_argument('--devices', type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update('jax_default_matmul_precision', 'highest')
+
+    from dgsqp_tpu.harness.mc_study import run_mc_study, analyze_results, save_results
+    from dgsqp_tpu.harness.scenarios import (build_agents_scenario,
+                                             build_approximate_duel,
+                                             build_chicane_scenario,
+                                             build_curve_scenario, build_merge_scenario)
+    from dgsqp_tpu.solvers.dgsqp import DGSQP
+    from dgsqp_tpu.solvers.dgsqp_v2 import DGSQPV2
+    from dgsqp_tpu.solvers.dgsqp_v2_frenet import DGSQPV2FrenetApprox
+    from dgsqp_tpu.solvers.solver_types import DGSQPParams, DGSQPV2Params
+
+    if args.formulation == 'approximate':
+        scenario = build_approximate_duel(N=args.N)
+    elif args.scenario == 'chicane':
+        scenario = build_chicane_scenario(N=args.N, theta_deg=args.theta)
+    elif args.scenario == 'curve':
+        scenario = build_curve_scenario(N=args.N, theta_deg=max(args.theta, 60.0))
+    elif args.scenario == 'merge':
+        scenario = build_merge_scenario(N=min(args.N, 20))
+    else:
+        scenario = build_agents_scenario(M=args.agents, N=args.N)
+
+    solver = None
+    if args.formulation == 'approximate':
+        params = DGSQPV2Params(N=scenario.N, dt=scenario.dt,
+                               sqp_iters=args.sqp_iters, p_tol=args.p_tol,
+                               d_tol=args.d_tol, merit_function=args.merit_function,
+                               merit_decrease_condition=args.merit_decrease_condition,
+                               approximation_eval=args.eval_type, nms=not args.no_nms)
+        if args.reg_init is not None:
+            params.reg = args.reg_init
+        if args.reg_decay is not None:
+            params.reg_decay = args.reg_decay
+        solver = DGSQPV2FrenetApprox(scenario.joint_model, scenario.costs,
+                                     scenario.agent_constraints,
+                                     scenario.shared_constraints, scenario.bounds,
+                                     params, print_method=None)
+        res = run_mc_study(scenario, num_samples=args.n, seed=args.seed,
+                           n_devices=args.devices, solver=solver)
+    elif args.solver == 'dgsqp':
+        params = DGSQPParams(N=scenario.N, dt=scenario.dt, reg=1e-3, nonmono_ls=True,
+                             line_search_iters=50, sqp_iters=args.sqp_iters,
+                             p_tol=args.p_tol, d_tol=args.d_tol, beta=0.01, tau=0.5,
+                             merit_function=args.merit_function)
+        res = run_mc_study(scenario, solver_params=params, num_samples=args.n,
+                           seed=args.seed, n_devices=args.devices)
+    elif args.solver == 'dgsqp_v2':
+        params = DGSQPV2Params(N=scenario.N, dt=scenario.dt, sqp_iters=args.sqp_iters,
+                               p_tol=args.p_tol, d_tol=args.d_tol,
+                               merit_function=args.merit_function,
+                               merit_decrease_condition=args.merit_decrease_condition,
+                               nms=not args.no_nms)
+        if args.reg_init is not None:
+            params.reg = args.reg_init
+        if args.reg_decay is not None:
+            params.reg_decay = args.reg_decay
+        res = run_mc_study(scenario, solver_params=params, num_samples=args.n,
+                           seed=args.seed, solver_cls=DGSQPV2, n_devices=args.devices)
+    else:
+        print(f'solver {args.solver} batched study not wired yet', file=sys.stderr)
+        sys.exit(2)
+
+    stats = analyze_results(res)
+    out_dir = Path(args.out)
+    name = f'{scenario.name}_{args.solver}_{args.formulation}_n{args.n}_s{args.seed}'
+    save_results(res, out_dir / f'{name}.pkl')
+    print(json.dumps(stats, indent=2, default=str))
+
+
+if __name__ == '__main__':
+    main()
