@@ -337,15 +337,12 @@ class DGSQP:
         return out.u_out, out.l_out, out.qp_n
 
     # ----------------------------------------------------------------- core loop
-    def _solve_core(self, u0, l0, x0, up, P=None) -> SQPResult:
+    def _make_body(self, x0, up, P):
         p = self.params
         dtype = self.dtype
         xtol = p.p_tol
         ltol = p.d_tol
         rel_tol_req = 3
-
-        def cond(c: _Carry):
-            return c.status == RUNNING
 
         use_bfgs = p.hessian_approximation == 'bfgs'
 
@@ -428,6 +425,12 @@ class DGSQP:
             return _Carry(u_out, l_out, it_next, status, rel_its,
                           qp_solves, p_feas, comp, stat, B_next, B_u_next)
 
+        return body
+
+    def _init_carry(self, u0, l0, x0, up, P=None) -> _Carry:
+        p = self.params
+        dtype = self.dtype
+        use_bfgs = p.hessian_approximation == 'bfgs'
         if use_bfgs:
             Q0, _, _, _, _ = self.problem.evaluate(jnp.asarray(u0, dtype),
                                                    jnp.asarray(l0, dtype), x0, up, P,
@@ -441,15 +444,52 @@ class DGSQP:
                       p_feas=jnp.asarray(jnp.inf, dtype), comp=jnp.asarray(jnp.inf, dtype),
                       stat=jnp.asarray(jnp.inf, dtype),
                       B=B0, B_u=jnp.asarray(u0, dtype) if use_bfgs else jnp.zeros((0,), dtype))
-        c = jax.lax.while_loop(cond, body, init)
+        return init
 
-        # final KKT conditions at the returned iterate
+    def _finalize(self, c: _Carry, x0, up, P=None) -> SQPResult:
+        dtype = self.dtype
         q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=False)
         d = q + G.T @ c.l
         p_feas = jnp.maximum(0.0, jnp.max(g)) if self.n_c > 0 else jnp.asarray(0.0, dtype)
         comp = jnp.max(jnp.abs(g * c.l)) if self.n_c > 0 else jnp.asarray(0.0, dtype)
         stat = jnp.max(jnp.abs(d))
         return SQPResult(c.u, c.l, c.status, c.it, c.qp_solves, p_feas, comp, stat)
+
+    def _solve_core(self, u0, l0, x0, up, P=None) -> SQPResult:
+        body = self._make_body(x0, up, P)
+        init = self._init_carry(u0, l0, x0, up, P)
+        c = jax.lax.while_loop(lambda cc: cc.status == RUNNING, body, init)
+        return self._finalize(c, x0, up, P)
+
+    def _chunk(self, c: _Carry, x0, up, P=None, chunk_iters: int = 8) -> _Carry:
+        """Run up to ``chunk_iters`` SQP iterations (finished games freeze inside the body).
+
+        Used by :meth:`solve_batch_chunked` to keep each device program short — very long
+        lockstep while-loops can trip accelerator watchdogs, and chunking gives the host a
+        progress/convergence view between chunks."""
+        body = self._make_body(x0, up, P)
+        return jax.lax.fori_loop(0, chunk_iters, lambda i, cc: body(cc), c)
+
+    def solve_batch_chunked(self, u0, l0, x0, up, P=None, chunk_iters: int = 8,
+                            max_chunks: Optional[int] = None, verbose: bool = False):
+        """Batched solve as a host loop over short jitted chunks."""
+        if not hasattr(self, '_chunk_jit'):
+            self._chunk_jit = jax.jit(jax.vmap(
+                lambda c, x, u_p: self._chunk(c, x, u_p, None, chunk_iters)))
+            self._init_jit = jax.jit(jax.vmap(
+                lambda u, l, x, u_p: self._init_carry(u, l, x, u_p, None)))
+            self._final_jit = jax.jit(jax.vmap(
+                lambda c, x, u_p: self._finalize(c, x, u_p, None)))
+        carry = self._init_jit(u0, l0, x0, up)
+        max_chunks = max_chunks or (self.params.sqp_iters // chunk_iters + 2) * 8
+        for i in range(max_chunks):
+            carry = self._chunk_jit(carry, x0, up)
+            n_run = int(jnp.sum(carry.status == RUNNING))
+            if verbose:
+                print(f'chunk {i}: {n_run} games still running')
+            if n_run == 0:
+                break
+        return self._final_jit(carry, x0, up)
 
     # ------------------------------------------------------------- host interface
     def initialize(self):

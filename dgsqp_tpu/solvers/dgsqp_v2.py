@@ -216,25 +216,14 @@ class DGSQPV2:
         return u_t, l_t, phi1
 
     # ----------------------------------------------------------------- core loop
-    def _solve_core(self, u0, l0, x0, up, P=None) -> SQPResult:
+    def _make_body(self, x0, up, P):
         p = self.params
         dtype = self.dtype
         use_l1 = p.merit_function in ('stat_l1', 'sum_obj_l1')
+        sum_obj = p.merit_function == 'sum_obj_l1'
         xtol, ltol = p.p_tol, p.d_tol
         rel_tol_req = 10   # reference DGSQP_v2.py:86
         mem_size = p.nms_memory_size
-
-        if self._approx_update is not None:
-            P = self._approx_update(u0, x0)
-
-        # initial merit memory entry (reference DGSQP_v2.py:342-343)
-        q_i0, G_i0, g_i0 = self._eval_lite(u0, l0, x0, up, P)
-        sum_obj = p.merit_function == 'sum_obj_l1'
-        obj_0 = jnp.sum(self.problem.eval_costs(jnp.asarray(u0, dtype), x0, up, P)) \
-            if sum_obj else None
-        phi0 = self._phi(l0, jnp.maximum(0.0, g_i0), q_i0, G_i0, g_i0,
-                         jnp.asarray(1.0, dtype), use_l1, obj=obj_0)
-        memory0 = jnp.full((mem_size,), -jnp.inf, dtype).at[0].set(phi0)
 
         def mem_max(memory):
             return jnp.max(memory)
@@ -242,9 +231,6 @@ class DGSQPV2:
         def mem_push(memory, ptr, val):
             ptr_n = (ptr + 1) % mem_size
             return memory.at[ptr_n].set(val), ptr_n
-
-        def cond(c: _CarryV2):
-            return c.status == RUNNING
 
         def body(c: _CarryV2) -> _CarryV2:
             running = c.status == RUNNING
@@ -401,6 +387,26 @@ class DGSQPV2:
                             jnp.where(running, comp, c.comp),
                             jnp.where(running, stat, c.stat))
 
+        return body
+
+    def _init_carry(self, u0, l0, x0, up, P=None) -> _CarryV2:
+        p = self.params
+        dtype = self.dtype
+        use_l1 = p.merit_function in ('stat_l1', 'sum_obj_l1')
+        sum_obj = p.merit_function == 'sum_obj_l1'
+        mem_size = p.nms_memory_size
+
+        if self._approx_update is not None:
+            P = self._approx_update(u0, x0)
+
+        # initial merit memory entry (reference DGSQP_v2.py:342-343)
+        q_i0, G_i0, g_i0 = self._eval_lite(u0, l0, x0, up, P)
+        obj_0 = jnp.sum(self.problem.eval_costs(jnp.asarray(u0, dtype), x0, up, P)) \
+            if sum_obj else None
+        phi0 = self._phi(l0, jnp.maximum(0.0, g_i0), q_i0, G_i0, g_i0,
+                         jnp.asarray(1.0, dtype), use_l1, obj=obj_0)
+        memory0 = jnp.full((mem_size,), -jnp.inf, dtype).at[0].set(phi0)
+
         z_u = jnp.asarray(u0, dtype)
         z_l = jnp.asarray(l0, dtype)
         init = _CarryV2(u=z_u, l=z_l, u_im1=z_u, l_im1=z_l,
@@ -420,8 +426,9 @@ class DGSQPV2:
                         p_feas=jnp.asarray(jnp.inf, dtype),
                         comp=jnp.asarray(jnp.inf, dtype),
                         stat=jnp.asarray(jnp.inf, dtype))
-        c = jax.lax.while_loop(cond, body, init)
+        return init
 
+    def _finalize(self, c: _CarryV2, x0, up, P=None) -> SQPResult:
         if self._approx_update is not None:
             P = self._approx_update(c.u, x0)
         q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=False)
@@ -430,6 +437,38 @@ class DGSQPV2:
         comp = jnp.max(jnp.abs(g * c.l))
         stat = jnp.max(jnp.abs(d))
         return SQPResult(c.u, c.l, c.status, c.it, c.qp_solves, p_feas, comp, stat)
+
+    def _solve_core(self, u0, l0, x0, up, P=None) -> SQPResult:
+        body = self._make_body(x0, up, P)
+        init = self._init_carry(u0, l0, x0, up, P)
+        c = jax.lax.while_loop(lambda cc: cc.status == RUNNING, body, init)
+        return self._finalize(c, x0, up, P)
+
+    def _chunk(self, c: _CarryV2, x0, up, P=None, chunk_iters: int = 8) -> _CarryV2:
+        body = self._make_body(x0, up, P)
+        return jax.lax.fori_loop(0, chunk_iters, lambda i, cc: body(cc), c)
+
+    def solve_batch_chunked(self, u0, l0, x0, up, P=None, chunk_iters: int = 8,
+                            max_chunks: Optional[int] = None, verbose: bool = False):
+        """Batched solve as a host loop over short jitted chunks (see dgsqp.py)."""
+        if not hasattr(self, '_chunk_jit'):
+            self._chunk_jit = jax.jit(jax.vmap(
+                lambda c, x, u_p: self._chunk(c, x, u_p, None, chunk_iters)))
+            self._init_jit = jax.jit(jax.vmap(
+                lambda u, l, x, u_p: self._init_carry(u, l, x, u_p, None)))
+            self._final_jit = jax.jit(jax.vmap(
+                lambda c, x, u_p: self._finalize(c, x, u_p, None)))
+        carry = self._init_jit(u0, l0, x0, up)
+        # v2 budgets count m-steps; allow ~6x in raw iterations before giving up
+        max_chunks = max_chunks or (6 * self.params.sqp_iters // chunk_iters + 4)
+        for i in range(max_chunks):
+            carry = self._chunk_jit(carry, x0, up)
+            n_run = int(jnp.sum(carry.status == RUNNING))
+            if verbose:
+                print(f'chunk {i}: {n_run} games still running')
+            if n_run == 0:
+                break
+        return self._final_jit(carry, x0, up)
 
     # ------------------------------------------------------------- host interface
     def initialize(self):

@@ -158,3 +158,19 @@ def test_bfgs_hessian_approximation():
     info = solver_bfgs.solve([VehicleState(), VehicleState()])
     assert info['msg'] in ('conv_abs_tol', 'conv_rel_tol'), info
     assert info['cond']['stat'] < 1e-6
+
+
+def test_chunked_batch_matches_while_loop():
+    """Chunked host-loop execution must produce the same results as the single while_loop."""
+    solver = _integrator_game(gamma=0.2, coupled_constraint=True)
+    rng = np.random.default_rng(3)
+    B = 4
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 2)))
+    u0 = jnp.zeros((B, 2 * N))
+    l0 = jnp.zeros((B, solver.n_c))
+    ups = jnp.zeros((B, 2))
+    res_w = solver._solve_batch_jit(u0, l0, x0s, ups, None)
+    res_c = solver.solve_batch_chunked(u0, l0, x0s, ups, chunk_iters=3)
+    np.testing.assert_array_equal(np.asarray(res_w.status), np.asarray(res_c.status))
+    np.testing.assert_allclose(np.asarray(res_w.u), np.asarray(res_c.u), atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(res_w.iters), np.asarray(res_c.iters))
