@@ -6,8 +6,10 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 Baseline: the driver target is >=500 concurrent 2-agent chicane solves/s on a v5e-16
 (BASELINE.md), i.e. 31.25 solves/s/chip; ``vs_baseline`` is measured solves/s/chip divided
 by that per-chip target.  The game configuration matches the reference MC study
-(``scripts/DGSQP_ALGAMES_monte_carlo_chicane.py``: N=25, theta=45deg, p/d_tol=1e-3,
-nonmono watchdog line search).
+(``scripts/DGSQP_ALGAMES_monte_carlo_chicane.py``: N=25, theta=45deg, p/d_tol=1e-3).
+
+Env knobs: DGSQP_BENCH_BATCH (default 256), DGSQP_BENCH_N (25), DGSQP_BENCH_SOLVER
+(v1|v2, default v1), DGSQP_BENCH_CHUNK (8).
 """
 import json
 import os
@@ -18,10 +20,10 @@ import numpy as np
 
 
 def main():
-    n_env = os.environ.get('DGSQP_BENCH_BATCH')
-    N_env = os.environ.get('DGSQP_BENCH_N')
-    batch = int(n_env) if n_env else 256
-    horizon = int(N_env) if N_env else 25
+    batch = int(os.environ.get('DGSQP_BENCH_BATCH', 256))
+    horizon = int(os.environ.get('DGSQP_BENCH_N', 25))
+    solver_name = os.environ.get('DGSQP_BENCH_SOLVER', 'v1')
+    chunk = int(os.environ.get('DGSQP_BENCH_CHUNK', 8))
 
     import jax
     import jax.numpy as jnp
@@ -29,13 +31,15 @@ def main():
     # TPU MXU matmuls default to bfloat16 inputs; the SQP's Jacobians/Hessians/KKT solves
     # need full f32 accumulation or the merit machinery sees ~1e-2 noise.
     jax.config.update('jax_default_matmul_precision', 'highest')
+    cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR')
+    if cache_dir:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
     platform = jax.devices()[0].platform
     on_tpu = platform != 'cpu'
     if not on_tpu:
-        # CPU smoke mode: keep it small
         batch = min(batch, 8)
-        jax.config.update('jax_enable_x64', False)
 
     # All eager/setup computation stays on host CPU — under the axon tunnel every eager op
     # is a network round trip; only the jitted batch solve should touch the TPU.
@@ -46,18 +50,28 @@ def main():
     from dgsqp_tpu.harness.scenarios import build_chicane_scenario
     from dgsqp_tpu.harness.samplers import sample_duel_initial_conditions
     from dgsqp_tpu.solvers.dgsqp import DGSQP, CONV_ABS, CONV_REL
-    from dgsqp_tpu.solvers.solver_types import DGSQPParams
+    from dgsqp_tpu.solvers.dgsqp_v2 import DGSQPV2
+    from dgsqp_tpu.solvers.solver_types import DGSQPParams, DGSQPV2Params
 
     sc = build_chicane_scenario(N=horizon, theta_deg=45.0)
-    params = DGSQPParams(N=sc.N, dt=sc.dt, reg=1e-3, nonmono_ls=True, line_search_iters=50,
-                         sqp_iters=50, p_tol=1e-3, d_tol=1e-3, beta=0.01, tau=0.5,
-                         qp_tol=1e-8 if jax.config.jax_enable_x64 else 3e-7)
-    solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints, sc.shared_constraints,
-                   sc.bounds, params, print_method=None)
+    qp_tol = 1e-8 if jax.config.jax_enable_x64 else 3e-7
+    if solver_name == 'v2':
+        params = DGSQPV2Params(N=sc.N, dt=sc.dt, reg=1e2, reg_decay=0.95, nms=True,
+                               nms_frequency=5, nms_memory_size=3, sqp_iters=100,
+                               p_tol=1e-3, d_tol=1e-3, merit_decrease=0.01,
+                               merit_decrease_condition='max', qp_tol=qp_tol)
+        solver = DGSQPV2(sc.joint_model, sc.costs, sc.agent_constraints,
+                         sc.shared_constraints, sc.bounds, params, print_method=None)
+    else:
+        params = DGSQPParams(N=sc.N, dt=sc.dt, reg=1e-3, nonmono_ls=True,
+                             line_search_iters=50, sqp_iters=50, p_tol=1e-3, d_tol=1e-3,
+                             beta=0.01, tau=0.5, qp_tol=qp_tol)
+        solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,
+                       sc.shared_constraints, sc.bounds, params, print_method=None)
     dtype = solver.dtype
 
-    print(f'# platform={platform} dtype={dtype.__name__} batch={batch} N={horizon}',
-          file=sys.stderr)
+    print(f'# platform={platform} dtype={dtype.__name__} solver={solver_name} '
+          f'batch={batch} N={horizon} chunk={chunk}', file=sys.stderr)
 
     x0, u_ws, _, _ = sample_duel_initial_conditions(sc, batch, seed=0)
     u0 = jax.vmap(solver.problem.stage_to_u)(jnp.asarray(u_ws, dtype))
@@ -69,26 +83,30 @@ def main():
     # explicit accelerator placement for the hot path
     u0, l0, x0, up = (jax.device_put(a, accel) for a in (u0, l0, x0, up))
 
-    # warm-up / compile
+    def run(verbose=False):
+        res = solver.solve_batch_chunked(u0, l0, x0, up, chunk_iters=chunk,
+                                         verbose=verbose)
+        jax.block_until_ready(res)
+        return res
+
     t0 = time.time()
-    res = solver._solve_batch_jit(u0, l0, x0, up, None)
-    jax.block_until_ready(res)
+    res = run(verbose=False)
     compile_and_first = time.time() - t0
     print(f'# first batch solve (incl compile): {compile_and_first:.1f}s', file=sys.stderr)
 
-    # timed run
     t0 = time.time()
-    res = solver._solve_batch_jit(u0, l0, x0, up, None)
-    jax.block_until_ready(res)
+    res = run()
     dur = time.time() - t0
 
     status = np.asarray(res.status)
-    conv = np.isin(status, (CONV_ABS, CONV_REL)).mean()
+    conv = np.isin(status, (CONV_ABS,)).mean()
+    conv_any = np.isin(status, (CONV_ABS, CONV_REL)).mean()
     iters = np.asarray(res.iters)
     solves_per_s = batch / dur
 
-    print(f'# solve time: {dur:.2f}s for {batch} games | convergence {conv * 100:.1f}% | '
-          f'iters p50={np.median(iters):.0f} max={iters.max()}', file=sys.stderr)
+    print(f'# solve time: {dur:.2f}s for {batch} games | conv_abs {conv * 100:.1f}% '
+          f'(incl rel {conv_any * 100:.1f}%) | iters p50={np.median(iters):.0f} '
+          f'max={iters.max()}', file=sys.stderr)
 
     target_per_chip = 500.0 / 16.0
     print(json.dumps({
@@ -97,8 +115,10 @@ def main():
         'unit': 'solves/s/chip',
         'vs_baseline': round(solves_per_s / target_per_chip, 3),
         'convergence_rate': round(float(conv), 4),
+        'convergence_rate_incl_rel': round(float(conv_any), 4),
         'batch': batch,
         'horizon': horizon,
+        'solver': solver_name,
         'platform': platform,
     }))
 
