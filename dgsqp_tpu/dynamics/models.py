@@ -208,6 +208,28 @@ class DynamicsModel:
         """(prediction field name, q column) pairs; overridden per model."""
         return []
 
+    def qu2interpolator(self, t0: float, q: np.ndarray, u: Optional[np.ndarray] = None,
+                        extrapolate: bool = False):
+        """Dense-time interpolator over a predicted trajectory
+        (reference ``dynamics_models.py:1859+`` / ``CA_LTV_MPC.get_prediction_interpolator``).
+
+        Returns f(t) -> (q(t), u(t)) by per-channel linear interpolation on the prediction
+        grid t0 + k*dt."""
+        q = np.asarray(q)
+        T = t0 + self.dt * np.arange(q.shape[0])
+        u = np.asarray(u) if u is not None else None
+        Tu = t0 + self.dt * np.arange(u.shape[0]) if u is not None else None
+
+        def f(t):
+            t = np.clip(t, T[0], T[-1]) if not extrapolate else t
+            qt = np.stack([np.interp(t, T, q[:, i]) for i in range(q.shape[1])], axis=-1)
+            if u is None:
+                return qt, None
+            tu = np.clip(t, Tu[0], Tu[-1]) if not extrapolate else t
+            ut = np.stack([np.interp(tu, Tu, u[:, i]) for i in range(u.shape[1])], axis=-1)
+            return qt, ut
+        return f
+
 
 # ============================================================== simple models
 class IntegratorModel(DynamicsModel):

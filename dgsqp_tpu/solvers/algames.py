@@ -228,22 +228,30 @@ class ALGAMES:
         return jnp.concatenate(parts)
 
     def _newton_matrix(self, y, x0, u_prev, lam, rho, q_reg, u_reg):
-        """H = [d(G2)/d(primal), d(G)/d(m)] + diag(reg) (ALGAMES.py:565-583)."""
+        """Newton matrix + diag(reg) (ALGAMES.py:565-583).
+
+        ``dynamics_hessians=False`` (default): Gauss-Newton variant — primal columns from
+        G2 (per-agent gradients WITHOUT the m'D term, dropping dynamics curvature), dual
+        columns from the full G.  ``dynamics_hessians=True``: exact Jacobian of G.
+        """
         N, n_q, n_u = self.N, self.n_q, self.n_u
         n_prim = N * (n_q + n_u)
         n_m = self.M * N * n_q
 
-        def G2(yy):
-            grads = self._agent_grad_blocks(
-                lambda y2, a: self._L_gn(y2, a, x0, u_prev, lam, rho), yy, x0)
-            q_all, u, _ = self._unpack(yy, x0)
-            D = self._dyn_residual(q_all, u)
-            return jnp.concatenate([grads, D])
+        if self.params.dynamics_hessians:
+            H = jax.jacfwd(lambda yy: self._G(yy, x0, u_prev, lam, rho))(y)
+        else:
+            def G2(yy):
+                grads = self._agent_grad_blocks(
+                    lambda y2, a: self._L_gn(y2, a, x0, u_prev, lam, rho), yy, x0)
+                q_all, u, _ = self._unpack(yy, x0)
+                D = self._dyn_residual(q_all, u)
+                return jnp.concatenate([grads, D])
 
-        Hfull_prim = jax.jacfwd(G2)(y)[:, :n_prim]
-        # dual columns from the full G (linear in m)
-        Hfull_m = jax.jacfwd(lambda yy: self._G(yy, x0, u_prev, lam, rho))(y)[:, n_prim:]
-        H = jnp.concatenate([Hfull_prim, Hfull_m], axis=1)
+            Hfull_prim = jax.jacfwd(G2)(y)[:, :n_prim]
+            # dual columns from the full G (linear in m)
+            Hfull_m = jax.jacfwd(lambda yy: self._G(yy, x0, u_prev, lam, rho))(y)[:, n_prim:]
+            H = jnp.concatenate([Hfull_prim, Hfull_m], axis=1)
         reg = jnp.concatenate([q_reg * jnp.ones(N * n_q, y.dtype),
                                u_reg * jnp.ones(N * n_u, y.dtype),
                                jnp.zeros(n_m, y.dtype)])

@@ -216,6 +216,38 @@ class CA_LTV_MPC:
         E = jnp.concatenate(E_rows, axis=0)
         d = jnp.concatenate(d_rows)
 
+        # ---------------- slack variables for soft constraints
+        # layout: z_ext = [z; s_state (2 * n_soft * (N+1)); s_constr]
+        soft_state = list(self.soft_state_idxs or [])
+        n_ss = len(soft_state)
+        n_slack_state = 2 * n_ss * (N + 1)
+        soft_c = list(self.params.soft_constraint_idxs or [])
+        n_sc = len(soft_c)
+        n_slack_c = n_sc * (N + 1)
+        n_ext = n_dec + n_slack_state + n_slack_c
+        if n_ext > n_dec:
+            H = jnp.zeros((n_ext, n_ext), dtype).at[:n_dec, :n_dec].set(H)
+            h = jnp.zeros(n_ext, dtype).at[:n_dec].set(h)
+            E = jnp.zeros((E.shape[0], n_ext), dtype).at[:, :n_dec].set(E)
+            # quadratic + linear penalties (reference CA_LTV_MPC.py:446-533)
+            for k in range(N + 1):
+                for jj, j in enumerate(soft_state):
+                    for side in range(2):
+                        si = n_dec + 2 * (k * n_ss + jj) + side
+                        H = H.at[si, si].add(self.soft_state_quad[jj])
+                        h = h.at[si].add(self.soft_state_lin[jj])
+                for jj in range(n_sc):
+                    si = n_dec + n_slack_state + k * n_sc + jj
+                    H = H.at[si, si].add(self.params.soft_constraint_quad[jj])
+                    h = h.at[si].add(self.params.soft_constraint_lin[jj])
+
+        def ext(row):
+            if n_ext > n_dec and row.shape[-1] == n_dec:
+                if row.ndim == 1:
+                    return jnp.zeros(n_ext, dtype).at[:n_dec].set(row)
+                return jnp.zeros((row.shape[0], n_ext), dtype).at[:, :n_dec].set(row)
+            return row
+
         # ---------------- inequality constraints A z <= b
         A_rows, b_rows = [], []
         qu_ub = jnp.asarray(np.concatenate([self.state_ub, self.input_ub]), dtype)
@@ -225,22 +257,32 @@ class CA_LTV_MPC:
         for k in range(N + 1):
             i0 = k * n_z
             for j in np.where(finite_ub)[0]:
-                row = jnp.zeros(n_dec, dtype).at[i0 + j].set(1.0)
+                row = jnp.zeros(n_ext, dtype).at[i0 + j].set(1.0)
+                if j in soft_state:
+                    jj = soft_state.index(j)
+                    row = row.at[n_dec + 2 * (k * n_ss + jj)].set(-1.0)
                 A_rows.append(row)
                 b_rows.append(qu_ub[j])
             for j in np.where(finite_lb)[0]:
-                row = jnp.zeros(n_dec, dtype).at[i0 + j].set(-1.0)
+                row = jnp.zeros(n_ext, dtype).at[i0 + j].set(-1.0)
+                if j in soft_state:
+                    jj = soft_state.index(j)
+                    row = row.at[n_dec + 2 * (k * n_ss + jj) + 1].set(-1.0)
                 A_rows.append(row)
                 b_rows.append(-qu_lb[j])
+        # slack non-negativity
+        for si in range(n_dec, n_ext):
+            A_rows.append(jnp.zeros(n_ext, dtype).at[si].set(-1.0))
+            b_rows.append(jnp.asarray(0.0, dtype))
         finite_du_ub = np.isfinite(self.du_ub)
         finite_du_lb = np.isfinite(self.du_lb)
         for k in range(N):
             i0 = n_z * (N + 1) + k * n_u
             for j in np.where(finite_du_ub)[0]:
-                A_rows.append(jnp.zeros(n_dec, dtype).at[i0 + j].set(1.0))
+                A_rows.append(jnp.zeros(n_ext, dtype).at[i0 + j].set(1.0))
                 b_rows.append(jnp.asarray(self.du_ub[j], dtype))
             for j in np.where(finite_du_lb)[0]:
-                A_rows.append(jnp.zeros(n_dec, dtype).at[i0 + j].set(-1.0))
+                A_rows.append(jnp.zeros(n_ext, dtype).at[i0 + j].set(-1.0))
                 b_rows.append(jnp.asarray(-self.du_lb[j], dtype))
 
         # linearized nonlinear constraints C(q_k, u_k) <= 0
@@ -254,9 +296,14 @@ class CA_LTV_MPC:
             Jq = jax.jacfwd(lambda qq: jnp.atleast_1d(_call2(fn, qq, u_k, P, k)))(q_ref[k])
             Ju = jax.jacfwd(lambda uu: jnp.atleast_1d(_call2(fn, q_ref[k], uu, P, k)))(u_k)
             i0 = k * n_z
-            row = jnp.zeros((val.shape[0], n_dec), dtype)
+            row = jnp.zeros((val.shape[0], n_ext), dtype)
             row = row.at[:, i0:i0 + n_q].set(Jq)
             row = row.at[:, i0 + n_q:i0 + n_z].set(Ju)
+            # softened rows get a -1 slack coefficient (reference CA_LTV_MPC.py:594-634)
+            for jj, c_idx in enumerate(soft_c):
+                if c_idx < val.shape[0]:
+                    si = n_dec + n_slack_state + k * n_sc + jj
+                    row = row.at[c_idx, si].set(-1.0)
             A_rows.append(row)
             b_rows.append(Jq @ q_ref[k] + Ju @ u_k - val)
 
@@ -267,7 +314,7 @@ class CA_LTV_MPC:
 
         sol = solve_eq_qp(H, h, A_in, b_in, E, d,
                           tol=1e-8 if dtype == jnp.float64 else 1e-6)
-        return sol.x, sol.ok
+        return sol.x[:n_dec], sol.ok
 
     # ------------------------------------------------------------- host interface
     def solve(self, state: VehicleState, parameters=None):
@@ -331,3 +378,9 @@ class CA_LTV_MPC:
         self.state_input_prediction.t = self.t
         self.dynamics.qu2prediction(self.state_input_prediction, self.q_pred, self.u_pred)
         return self.state_input_prediction
+
+    def get_prediction_interpolator(self, extrapolate: bool = False):
+        """Dense-time interpolator over the current prediction
+        (reference ``CA_LTV_MPC.py:287-289``)."""
+        return self.dynamics.qu2interpolator(self.t, self.q_pred, self.u_pred,
+                                             extrapolate=extrapolate)

@@ -70,3 +70,45 @@ def test_mpc_closed_loop_reaches_target():
         model.step(st)
     assert abs(st.x.x - 1.0) < 0.1
     assert abs(st.x.y - 0.3) < 0.1
+
+
+def test_soft_state_bounds():
+    """Soft state bounds (slack + quad/lin penalty) let the QP trade violation for cost
+    (reference CA_LTV_MPC.py:446-533)."""
+    from dgsqp_tpu.solvers.ca_ltv_mpc import CA_LTV_MPC
+    from dgsqp_tpu.solvers.solver_types import CALTVMPCParams
+    model, _ = _make_mpc()
+    W = jnp.asarray(np.diag([10.0, 10.0, 1.0, 1.0]))
+    tgt = jnp.asarray([1.0, 0.8, 0.0, 0.0])  # target OUTSIDE the hard y bound
+
+    def state_cost(q):
+        return 0.5 * (q - tgt) @ W @ (q - tgt)
+
+    costs = {'state': [state_cost] * (N + 1),
+             'input': [lambda u: 0.05 * (u[0] ** 2 + u[1] ** 2)] * (N + 1),
+             'rate': [lambda du: 0.05 * (du[0] ** 2 + du[1] ** 2)] * N}
+    constraints = {'state_input': [None] * (N + 1), 'rate': [None] * N}
+
+    ub = VehicleState(x=Position(x=np.inf, y=0.5),  # hard-ish bound y <= 0.5
+                      e=OrientationEuler(psi=np.inf),
+                      v=BodyLinearVelocity(v_long=5.0),
+                      u=VehicleActuation(u_a=3.0, u_steer=3.0))
+    lb = VehicleState(x=Position(x=-np.inf, y=-0.5),
+                      e=OrientationEuler(psi=-np.inf),
+                      v=BodyLinearVelocity(v_long=-5.0),
+                      u=VehicleActuation(u_a=-3.0, u_steer=-3.0))
+    du_ub = VehicleState(u=VehicleActuation(u_a=1.0, u_steer=1.0))
+    du_lb = VehicleState(u=VehicleActuation(u_a=-1.0, u_steer=-1.0))
+    params = CALTVMPCParams(N=N, dt=DT, qp_iters=2, damping=0.5,
+                            soft_state_bound_idxs=[1],  # y is qu index 1
+                            soft_state_bound_quad=[50.0],
+                            soft_state_bound_lin=[5.0])
+    mpc = CA_LTV_MPC(model, costs, constraints,
+                     {'qu_ub': ub, 'qu_lb': lb, 'du_ub': du_ub, 'du_lb': du_lb},
+                     params, print_method=None)
+    st = VehicleState(t=0.0)
+    st.v.v_long = 0.5
+    ok = mpc.solve(st)
+    assert ok
+    # soft bound may be violated slightly but not wildly
+    assert mpc.q_pred[:, 1].max() < 0.75
