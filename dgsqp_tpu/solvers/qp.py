@@ -343,3 +343,28 @@ def solve_eq_qp(Q, q, A, b, E, d, tol: float = 1e-8, max_iters: int = 50) -> EqQ
                       jnp.maximum(jnp.max(jnp.abs(r_e), initial=0.0), mu))
     ok = (res < 1e4 * tol * scale) & jnp.isfinite(res)
     return EqQPSolution(st.x, st.lam, st.nu, ok, st.it, res)
+
+
+def solve_elastic_qp(Q, q, A, b, eta: float = 1e3, rho: float = 1e3,
+                     tol: float = 1e-8, max_iters: int = 50) -> QPSolution:
+    """Elastic-mode QP: always-feasible relaxation with slack penalties.
+
+        min 1/2 x'Qx + q'x + eta*1's + rho/2 s's   s.t.  Ax - s <= b,  s >= 0
+
+    Parity item for the reference's elastic-mode machinery, which builds exactly these
+    augmented (Qem, qem, Gem, gem) matrices plus a second conic solver but never wires them
+    into the solve loop (``DGSQP_v2.py:195-197,1169-1191``); here it is available as a
+    recovery path when the nominal QP is infeasible.  Duals returned are those of the
+    original rows.
+    """
+    n = q.shape[-1]
+    m = b.shape[-1]
+    dtype = q.dtype
+    Z = jnp.zeros((n, m), dtype)
+    Qem = jnp.block([[Q, Z], [Z.T, rho * jnp.eye(m, dtype=dtype)]])
+    qem = jnp.concatenate([q, eta * jnp.ones(m, dtype)])
+    Aem = jnp.block([[A, -jnp.eye(m, dtype=dtype)],
+                     [jnp.zeros((m, n), dtype), -jnp.eye(m, dtype=dtype)]])
+    bem = jnp.concatenate([b, jnp.zeros(m, dtype)])
+    sol = solve_qp(Qem, qem, Aem, bem, tol=tol, max_iters=max_iters)
+    return QPSolution(sol.x[:n], sol.lam[:m], sol.t[:m], sol.ok, sol.iters, sol.res)

@@ -101,3 +101,16 @@ def test_float32_convergence():
     sol = solve_qp(jnp.asarray(Q, jnp.float32), jnp.asarray(q, jnp.float32),
                    jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32), tol=1e-6)
     np.testing.assert_allclose(np.asarray(sol.x), x_star, atol=1e-3)
+
+
+def test_elastic_qp_handles_infeasible():
+    # x <= -1 and x >= 1 is infeasible; elastic mode returns a compromise
+    from dgsqp_tpu.solvers.qp import solve_elastic_qp
+    Q = jnp.eye(1)
+    q = jnp.zeros(1)
+    A = jnp.array([[1.0], [-1.0]])
+    b = jnp.array([-1.0, -1.0])
+    sol = solve_elastic_qp(Q, q, A, b, eta=10.0, rho=10.0)
+    assert bool(sol.ok)
+    assert np.isfinite(float(sol.x[0]))
+    assert abs(float(sol.x[0])) < 1.5
