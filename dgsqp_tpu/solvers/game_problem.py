@@ -171,6 +171,13 @@ class GameProblem:
         self._count_constraints()
         self._build_plan()
 
+        # device copies of the box-bound tables in the problem dtype (numpy float64 arrays
+        # would otherwise promote f32 computations when x64 is enabled)
+        self._input_ub_j = [jnp.asarray(a, dtype) for a in self.input_ub]
+        self._input_lb_j = [jnp.asarray(a, dtype) for a in self.input_lb]
+        self._state_ub_j = [jnp.asarray(a, dtype) for a in self.state_ub]
+        self._state_lb_j = [jnp.asarray(a, dtype) for a in self.state_lb]
+
     # ------------------------------------------------------------ layout helpers
     def u_to_stage(self, u_flat):
         """Agent-stacked flat u -> (N, n_u) stage-major matrix (columns agent-ordered)."""
@@ -375,19 +382,19 @@ class GameProblem:
         for a in range(M):
             if self._iub_dest[a] is not None:
                 idx = self.input_ub_idxs[a]
-                vals = ua[a][:, idx] - self.input_ub[a][idx]
+                vals = ua[a][:, idx] - self._input_ub_j[a][idx]
                 g = g.at[self._iub_dest[a].reshape(-1)].set(vals.reshape(-1))
             if self._ilb_dest[a] is not None:
                 idx = self.input_lb_idxs[a]
-                vals = self.input_lb[a][idx] - ua[a][:, idx]
+                vals = self._input_lb_j[a][idx] - ua[a][:, idx]
                 g = g.at[self._ilb_dest[a].reshape(-1)].set(vals.reshape(-1))
             if self._sub_dest[a] is not None:
                 idx = self.state_ub_idxs[a] + self.q_offsets[a]
-                vals = x[1:, idx] - self.state_ub[a][self.state_ub_idxs[a]]
+                vals = x[1:, idx] - self._state_ub_j[a][self.state_ub_idxs[a]]
                 g = g.at[self._sub_dest[a].reshape(-1)].set(vals.reshape(-1))
             if self._slb_dest[a] is not None:
                 idx = self.state_lb_idxs[a] + self.q_offsets[a]
-                vals = self.state_lb[a][self.state_lb_idxs[a]] - x[1:, idx]
+                vals = self._state_lb_j[a][self.state_lb_idxs[a]] - x[1:, idx]
                 g = g.at[self._slb_dest[a].reshape(-1)].set(vals.reshape(-1))
 
         # terminal nonlinear rows

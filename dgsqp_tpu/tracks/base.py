@@ -118,6 +118,10 @@ class RadiusArclengthTrack:
         L = self.track_length
         return jnp.mod(jnp.mod(s, L) + L, L)
 
+    def _kp_for(self, x):
+        # Track tables adopt the query dtype so f32 sessions stay f32 even with x64 enabled.
+        return self._kp.astype(jnp.asarray(x).dtype)
+
     def curvature(self, s):
         """Signed curvature at arc length s (piecewise constant per segment).
 
@@ -125,10 +129,11 @@ class RadiusArclengthTrack:
         (``radius_arclength_track.py:199-205``); fully vectorized over s.
         """
         s_bar = self._s_mod(s)
+        kp = self._kp_for(s)
         # breakpoints are interior cumulative lengths; value i applies on [bp[i-1], bp[i]).
-        bp = self._kp[1:-1, 3]
+        bp = kp[1:-1, 3]
         idx = jnp.searchsorted(bp, s_bar, side='right')
-        return self._kp[1 + idx, 5]
+        return kp[1 + idx, 5]
 
     def tangent_angle(self, s):
         """Track tangent angle at arc length s (piecewise linear in s; unwrapped).
@@ -136,7 +141,8 @@ class RadiusArclengthTrack:
         Equivalent of ``get_tangent_angle_casadi_fn`` (``radius_arclength_track.py:207-225``).
         """
         s_bar = self._s_mod(s)
-        return jnp.interp(s_bar, self._kp[:, 3], self._cum_angle)
+        kp = self._kp_for(s)
+        return jnp.interp(s_bar, kp[:, 3], self._cum_angle.astype(kp.dtype))
 
     def left_width(self, s):
         return jnp.full(jnp.shape(s), self.half_width)
@@ -151,14 +157,15 @@ class RadiusArclengthTrack:
         s, e_y, e_psi = cl_coord[..., 0], cl_coord[..., 1], cl_coord[..., 2]
         s = self._s_mod(s)
 
-        cum_l = self._kp[:, 3]
+        _kp = self._kp_for(s)
+        cum_l = _kp[:, 3]
         idx = jnp.clip(jnp.searchsorted(cum_l, s, side='right') - 1, 0, self.n_segs - 1)
 
-        x_s, y_s, psi_s = self._kp[idx, 0], self._kp[idx, 1], self._kp[idx, 2]
-        x_f, y_f, psi_f = self._kp[idx + 1, 0], self._kp[idx + 1, 1], self._kp[idx + 1, 2]
-        curve_f = self._kp[idx + 1, 5]
-        l = self._kp[idx + 1, 4]
-        d = s - self._kp[idx, 3]
+        x_s, y_s, psi_s = _kp[idx, 0], _kp[idx, 1], _kp[idx, 2]
+        x_f, y_f, psi_f = _kp[idx + 1, 0], _kp[idx + 1, 1], _kp[idx + 1, 2]
+        curve_f = _kp[idx + 1, 5]
+        l = _kp[idx + 1, 4]
+        d = s - _kp[idx, 3]
 
         straight = curve_f == 0
 
@@ -198,7 +205,7 @@ class RadiusArclengthTrack:
         psi = xy_coord[..., 2][..., None]                        # (..., 1) — broadcast vs segments
         pos = jnp.stack([x, y], axis=-1)[..., None, :]           # (..., 1, 2)
 
-        kp = self._kp
+        kp = self._kp_for(xy_coord)
         pos_s = kp[:-1, 0:2]                                     # (n_segs, 2)
         pos_f = kp[1:, 0:2]
         psi_s = kp[:-1, 2]
