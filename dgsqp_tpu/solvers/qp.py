@@ -124,11 +124,14 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         mu = jnp.dot(t, lam) / m
         return r_d, r_p, mu
 
+    eps_floor = 1e-14 if dtype == jnp.float64 else 1e-7
+    d_cap = 1e14 if dtype == jnp.float64 else 1e7
+
     def body(st: _IPMState) -> _IPMState:
         x, lam, t = st.x, st.lam, st.t
         r_d, r_p, mu = residuals(x, lam, t)
 
-        d = lam / t
+        d = jnp.clip(lam / jnp.maximum(t, eps_floor), 0.0, d_cap)
         K = Q + (A.T * d) @ A
         # Levenberg guard keeps the factorization alive in ill-conditioned corners.
         K = K + 1e-12 * jnp.trace(K) / n * jnp.eye(n, dtype=dtype)
@@ -156,8 +159,8 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         alpha = jnp.minimum(_step_length(t, dt), _step_length(lam, dlam))
 
         x_n = x + alpha * dx
-        lam_n = lam + alpha * dlam
-        t_n = t + alpha * dt
+        lam_n = jnp.maximum(lam + alpha * dlam, eps_floor)
+        t_n = jnp.maximum(t + alpha * dt, eps_floor)
 
         r_d_n, r_p_n, mu_n = residuals(x_n, lam_n, t_n)
         scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
@@ -180,23 +183,43 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     st0 = _IPMState(x0, lam0, t0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(jnp.inf, dtype))
     st = jax.lax.while_loop(cond, body, st0)
 
-    # ---- polish: one exact solve on the identified active set (OSQP-style).
+    # ---- polish: exact solves on candidate active sets (OSQP-style).
     # Recovers high-accuracy primal AND dual without driving the IPM to tiny mu; the SQP
-    # layer consumes the duals directly, so their quality matters.
-    x_p, lam_p = _polish(Q, q, A, b, st.lam, st.t)
-    r_d_p = Q @ x_p + q + A.T @ lam_p
-    r_p_p = jnp.maximum(A @ x_p - b, 0.0)
-    comp_p = jnp.abs(lam_p * (A @ x_p - b))
-    res_p = jnp.maximum(jnp.max(jnp.abs(r_d_p)),
-                        jnp.maximum(jnp.max(r_p_p), jnp.max(comp_p)))
-    ok_p = jnp.isfinite(res_p) & (jnp.min(lam_p) > -1e-9)
+    # layer consumes the duals directly, so their quality matters.  In reduced precision the
+    # IPM can break down before lam/t separate cleanly, so two candidate identifications are
+    # tried (dual-dominance lam > t, and small-slack t < sqrt(mu)-scale) and the best
+    # certified solution wins.
+    neg_tol = 1e-9 if dtype == jnp.float64 else 1e-4 * (1.0 + jnp.max(jnp.abs(st.lam)))
+
+    def certify(x_p, lam_p):
+        r_d_p = Q @ x_p + q + A.T @ lam_p
+        r_p_p = jnp.maximum(A @ x_p - b, 0.0)
+        comp_p = jnp.abs(lam_p * (A @ x_p - b))
+        res_p = jnp.maximum(jnp.max(jnp.abs(r_d_p)),
+                            jnp.maximum(jnp.max(r_p_p), jnp.max(comp_p)))
+        ok_p = jnp.isfinite(res_p) & (jnp.min(lam_p) > -neg_tol)
+        return jnp.where(ok_p, res_p, jnp.inf)
 
     r_d, r_p, mu = residuals(st.x, st.lam, st.t)
     res0 = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(r_d)), jnp.max(jnp.abs(r_p))), mu)
-    use_polish = ok_p & (res_p < res0)
-    x = jnp.where(use_polish, x_p, st.x)
-    lam = jnp.where(use_polish, jnp.maximum(lam_p, 0.0), st.lam)
-    res = jnp.where(use_polish, res_p, res0)
+
+    # Primal-dual active-set (PDAS) refinement: the IPM's identification (lam > t) can be
+    # off by several rows when reduced precision stops it early.  PDAS fixed-point updates
+    # act <- {i : lam_i + c*(A x - b)_i > 0} converge in a handful of KKT solves and repair
+    # the identification; the best certified candidate wins.
+    act = (st.lam > st.t).astype(dtype)
+    best_x, best_lam = st.x, st.lam
+    best_res = res0
+    for _ in range(8):
+        x_c, lam_c = _polish_act(Q, q, A, b, act)
+        res_c = certify(x_c, lam_c)
+        better = res_c < best_res
+        best_x = jnp.where(better, x_c, best_x)
+        best_lam = jnp.where(better, jnp.maximum(lam_c, 0.0), best_lam)
+        best_res = jnp.where(better, res_c, best_res)
+        viol = A @ x_c - b
+        act = (lam_c + viol > 0).astype(dtype)
+    x, lam, res = best_x, best_lam, best_res
 
     scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
     ok = (res < 1e4 * tol * scale) & jnp.isfinite(res)
@@ -212,19 +235,37 @@ def _polish(Q, q, A, b, lam, t):
         [ diag(a) A  diag(1-a) ] [lam] = [a * b    ]
     which is solved densely.  Mirrors OSQP's ``polish=True`` option that the reference enables
     (``DGSQP.py:186``).
+
+    In float32 the factorization alone leaves the DUALS with ~1e-2 noise, which poisons the
+    SQP layer; two steps of mixed-precision iterative refinement (residuals in float64 —
+    O(n^2) even under TPU f64 emulation — corrections through the f32 LU) recover
+    near-double-precision solutions when x64 is available.
     """
+    act = (lam > t).astype(q.dtype)
+    return _polish_act(Q, q, A, b, act)
+
+
+def _polish_act(Q, q, A, b, act):
     n = q.shape[-1]
     m = b.shape[-1]
     dtype = q.dtype
-    act = (lam > t).astype(dtype)
     top = jnp.concatenate([Q, A.T], axis=1)
     bot = jnp.concatenate([act[:, None] * A, jnp.diag(1.0 - act)], axis=1)
     # small Tikhonov term on the active-constraint block guards rank deficiency
-    reg = 1e-12
+    reg = 1e-12 if dtype == jnp.float64 else 1e-8
     bot = bot.at[:, n:].add(-reg * jnp.diag(act))
     M = jnp.concatenate([top, bot], axis=0)
     rhs = jnp.concatenate([-q, act * b])
-    sol = jnp.linalg.solve(M, rhs)
+
+    lu, piv = jax.scipy.linalg.lu_factor(M)
+    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+    if dtype != jnp.float64 and jax.config.jax_enable_x64:
+        M64 = M.astype(jnp.float64)
+        rhs64 = rhs.astype(jnp.float64)
+        for _ in range(2):
+            r = (rhs64 - M64 @ sol.astype(jnp.float64)).astype(dtype)
+            sol = sol + jax.scipy.linalg.lu_solve((lu, piv), r)
     return sol[:n], sol[n:]
 
 
