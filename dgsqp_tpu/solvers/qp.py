@@ -207,10 +207,8 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     # off by several rows when reduced precision stops it early.  PDAS fixed-point updates
     # act <- {i : lam_i + c*(A x - b)_i > 0} converge in a handful of KKT solves and repair
     # the identification; the best certified candidate wins.
-    act = (st.lam > st.t).astype(dtype)
-    best_x, best_lam = st.x, st.lam
-    best_res = res0
-    for _ in range(8):
+    def pdas_step(_, carry):
+        act, best_x, best_lam, best_res = carry
         x_c, lam_c = _polish_act(Q, q, A, b, act)
         res_c = certify(x_c, lam_c)
         better = res_c < best_res
@@ -219,7 +217,11 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         best_res = jnp.where(better, res_c, best_res)
         viol = A @ x_c - b
         act = (lam_c + viol > 0).astype(dtype)
-    x, lam, res = best_x, best_lam, best_res
+        return act, best_x, best_lam, best_res
+
+    act0 = (st.lam > st.t).astype(dtype)
+    _, x, lam, res = jax.lax.fori_loop(
+        0, 8, pdas_step, (act0, st.x, st.lam, res0))
 
     scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
     ok = (res < 1e4 * tol * scale) & jnp.isfinite(res)
