@@ -481,15 +481,21 @@ class DGSQP:
             self._final_jit = jax.jit(jax.vmap(
                 lambda c, x, u_p: self._finalize(c, x, u_p, None)))
         carry = self._init_jit(u0, l0, x0, up)
+        history = []
         max_chunks = max_chunks or (self.params.sqp_iters // chunk_iters + 2) * 8
         for i in range(max_chunks):
             carry = self._chunk_jit(carry, x0, up)
             n_run = int(jnp.sum(carry.status == RUNNING))
+            history.append(dict(chunk=i, running=n_run,
+                                iters_p50=float(jnp.median(carry.it)),
+                                stat_p50=float(jnp.median(carry.stat))))
             if verbose:
                 print(f'chunk {i}: {n_run} games still running')
             if n_run == 0:
                 break
-        return self._final_jit(carry, x0, up)
+        res = self._final_jit(carry, x0, up)
+        self.last_chunk_history = history
+        return res
 
     # ------------------------------------------------------------- host interface
     def initialize(self):
