@@ -210,6 +210,7 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     def pdas_step(_, carry):
         act, best_x, best_lam, best_res = carry
         x_c, lam_c = _polish_act(Q, q, A, b, act)
+
         res_c = certify(x_c, lam_c)
         better = res_c < best_res
         best_x = jnp.where(better, x_c, best_x)
@@ -229,27 +230,25 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
 
 
 def _polish(Q, q, A, b, lam, t):
-    """Solve the equality-constrained KKT system on the active set {i: lam_i > t_i}.
-
-    Fixed-shape formulation: inactive rows are replaced by the trivial equation lam_i = 0,
-    giving the (n+m)x(n+m) system
-        [ Q          A'        ] [x  ]   [-q       ]
-        [ diag(a) A  diag(1-a) ] [lam] = [a * b    ]
-    which is solved densely.  Mirrors OSQP's ``polish=True`` option that the reference enables
-    (``DGSQP.py:186``).
-
-    In float32 the factorization alone leaves the DUALS with ~1e-2 noise, which poisons the
-    SQP layer; two steps of mixed-precision iterative refinement (residuals in float64 —
-    O(n^2) even under TPU f64 emulation — corrections through the f32 LU) recover
-    near-double-precision solutions when x64 is available.
-    """
+    """Polish on the active set {i: lam_i > t_i} (see :func:`_polish_act`)."""
     act = (lam > t).astype(q.dtype)
     return _polish_act(Q, q, A, b, act)
 
 
 def _polish_act(Q, q, A, b, act):
+    """Equality-KKT solve on an active set.
+
+    Fixed-shape formulation: inactive rows are replaced by the trivial equation lam_i = 0,
+    giving the (n+m)x(n+m) system
+        [ Q          A'        ] [x  ]   [-q   ]
+        [ diag(a) A  diag(1-a) ] [lam] = [a * b]
+    solved by LU.  In reduced precision the factorization alone leaves the DUALS with ~1e-2
+    noise, which poisons the SQP layer; two steps of mixed-precision iterative refinement
+    (residuals in float64 — O(n^2) even under TPU f64 emulation — corrections through the
+    same LU) recover near-double-precision solutions when x64 is available.  Mirrors OSQP's
+    ``polish=True`` that the reference enables (``DGSQP.py:186``).
+    """
     n = q.shape[-1]
-    m = b.shape[-1]
     dtype = q.dtype
     top = jnp.concatenate([Q, A.T], axis=1)
     bot = jnp.concatenate([act[:, None] * A, jnp.diag(1.0 - act)], axis=1)
