@@ -258,15 +258,19 @@ def _polish_act(Q, q, A, b, act):
     M = jnp.concatenate([top, bot], axis=0)
     rhs = jnp.concatenate([-q, act * b])
 
-    lu, piv = jax.scipy.linalg.lu_factor(M)
-    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+    # Householder QR: backward-stable without pivoting (pivoted LU serializes on TPU)
+    Qf, Rf = jnp.linalg.qr(M)
 
+    def qr_solve(v):
+        return jax.scipy.linalg.solve_triangular(Rf, Qf.T @ v, lower=False)
+
+    sol = qr_solve(rhs)
     if dtype != jnp.float64 and jax.config.jax_enable_x64:
         M64 = M.astype(jnp.float64)
         rhs64 = rhs.astype(jnp.float64)
         for _ in range(2):
             r = (rhs64 - M64 @ sol.astype(jnp.float64)).astype(dtype)
-            sol = sol + jax.scipy.linalg.lu_solve((lu, piv), r)
+            sol = sol + qr_solve(r)
     return sol[:n], sol[n:]
 
 
