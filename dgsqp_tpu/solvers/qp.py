@@ -222,7 +222,7 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
 
     act0 = (st.lam > st.t).astype(dtype)
     _, x, lam, res = jax.lax.fori_loop(
-        0, 8, pdas_step, (act0, st.x, st.lam, res0))
+        0, 4, pdas_step, (act0, st.x, st.lam, res0))
 
     scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
     ok = (res < 1e4 * tol * scale) & jnp.isfinite(res)
