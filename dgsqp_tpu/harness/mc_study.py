@@ -79,20 +79,21 @@ def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int
 
     mesh = games_mesh(n_devices)
     n_dev = mesh.devices.size
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = NamedSharding(mesh, P('games'))
     args = []
     for a in (u0, l0, x0.astype(np.asarray(u0).dtype), up):
         padded, orig = pad_to_multiple(np.asarray(a), n_dev)
-        args.append(padded)
+        args.append(jax.device_put(jnp.asarray(padded), sharding))
 
+    # chunked execution: short device programs (watchdog-safe), SPMD over the games axis
     t0 = time.time()
-    res = sharded_batch_solve(lambda u, l, x, p: solver._solve_core(u, l, x, p, None),
-                              mesh, *args)
+    res = solver.solve_batch_chunked(*args)
     jax.block_until_ready(res)
     first = time.time() - t0
 
     t0 = time.time()
-    res = sharded_batch_solve(lambda u, l, x, p: solver._solve_core(u, l, x, p, None),
-                              mesh, *args)
+    res = solver.solve_batch_chunked(*args)
     jax.block_until_ready(res)
     solve_time = time.time() - t0
 
