@@ -207,20 +207,30 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     # off by several rows when reduced precision stops it early.  PDAS fixed-point updates
     # act <- {i : lam_i + c*(A x - b)_i > 0} converge in a handful of KKT solves and repair
     # the identification; the best certified candidate wins.
-    def pdas_step(_, carry):
-        act, best_x, best_lam, best_res = carry
-        x_c, lam_c = _polish_act(Q, q, A, b, act)
+    #
+    # Cost control: only the top-K most-active rows (by lam - t) can ever be active (under
+    # LICQ at most n rows are), so the polish KKT is built on that K-row subset — the QR
+    # factors an (n+K) system instead of (n+m).
+    K = int(min(m, n + 32))
+    score = st.lam - st.t
+    _, cand = jax.lax.top_k(score, K)
+    A_k = A[cand]
+    b_k = b[cand]
 
+    def pdas_step(_, carry):
+        act_k, best_x, best_lam, best_res = carry
+        x_c, lam_k = _polish_act(Q, q, A_k, b_k, act_k)
+        lam_c = jnp.zeros(m, dtype).at[cand].set(lam_k)
         res_c = certify(x_c, lam_c)
         better = res_c < best_res
         best_x = jnp.where(better, x_c, best_x)
         best_lam = jnp.where(better, jnp.maximum(lam_c, 0.0), best_lam)
         best_res = jnp.where(better, res_c, best_res)
-        viol = A @ x_c - b
-        act = (lam_c + viol > 0).astype(dtype)
-        return act, best_x, best_lam, best_res
+        viol_k = A_k @ x_c - b_k
+        act_k = (lam_k + viol_k > 0).astype(dtype)
+        return act_k, best_x, best_lam, best_res
 
-    act0 = (st.lam > st.t).astype(dtype)
+    act0 = (st.lam[cand] > st.t[cand]).astype(dtype)
     _, x, lam, res = jax.lax.fori_loop(
         0, 4, pdas_step, (act0, st.x, st.lam, res0))
 
