@@ -73,9 +73,14 @@ def _ruiz_equilibrate(Q, A, iters: int = 3):
         d_x = d_x / col_norm
         if m:
             As = A * e_r[:, None] * d_x[None, :]
-            row_norm = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(As), axis=1), 1e-8))
+            rn = jnp.max(jnp.abs(As), axis=1)
+            # all-zero rows get NO scaling — the 1e-8 guard would otherwise compound to
+            # e_r ~ 1e12 over the sweeps, inflating the scaled b and wrecking the IPM's
+            # relative stopping test.
+            row_norm = jnp.where(rn == 0, 1.0, jnp.sqrt(jnp.maximum(rn, 1e-8)))
             e_r = e_r / row_norm
-    return d_x, e_r
+    # OSQP-style safety clamp on the cumulative scalings
+    return jnp.clip(d_x, 1e-6, 1e6), jnp.clip(e_r, 1e-6, 1e6)
 
 
 @partial(jax.jit, static_argnames=('max_iters', 'scale'))
@@ -98,6 +103,18 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         x = -jax.scipy.linalg.cho_solve((L, True), q)
         return QPSolution(x, jnp.zeros((0,), dtype), jnp.zeros((0,), dtype),
                           jnp.asarray(True), jnp.asarray(0), jnp.asarray(0.0, dtype))
+
+    # Degenerate (near-)zero rows — AD of padded/inactive constraints produces rows at
+    # rounding-noise norm (~1e-13).  Such a row is vacuous over any realistic step, but Ruiz
+    # equilibration magnifies it to a unit-norm garbage constraint (and with b == 0 the IPM's
+    # d = lam/t becomes indeterminate as both -> 0).  Zero the row and lift b to unit scale:
+    # the feasible set and the duals (lam_i = 0) are unchanged.  Rows with b < 0 are left
+    # alone — they encode genuine infeasibility and must be allowed to fail.
+    row_norm = jnp.max(jnp.abs(A), axis=1)
+    eps_row = (1e-10 if dtype == jnp.float64 else 1e-5) * jnp.maximum(1.0, jnp.max(row_norm))
+    degen = (row_norm <= eps_row) & (b >= 0)
+    A = jnp.where(degen[:, None], 0.0, A)
+    b = jnp.where(degen, jnp.maximum(b, 1.0), b)
 
     if scale:
         d_x, e_r = _ruiz_equilibrate(Q, A)
@@ -211,8 +228,11 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     # Cost control: only the top-K most-active rows (by lam - t) can ever be active (under
     # LICQ at most n rows are), so the polish KKT is built on that K-row subset — the QR
     # factors an (n+K) system instead of (n+m).
+    # Candidate score: dual dominance (lam - t) OR primal violation at the IPM point — if the
+    # IPM broke down early its (lam, t) are unreliable, but violated rows MUST be candidates
+    # or the polish can never restore feasibility on them.
     K = int(min(m, n + 32))
-    score = st.lam - st.t
+    score = jnp.maximum(st.lam - st.t, A @ st.x - b)
     _, cand = jax.lax.top_k(score, K)
     A_k = A[cand]
     b_k = b[cand]

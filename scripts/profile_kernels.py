@@ -2,7 +2,10 @@
 """Per-kernel timing breakdown on the current accelerator.
 
 Times the hot pieces of one SQP iteration at batch size B: evaluate (with/without Hessian),
-convexification (eigh), and the QP solve.  Guides kernel optimization (SURVEY.md perf plan).
+convexification (eigh), the QP solve, and one full 8-iteration solver chunk.  Each timed
+function is wrapped to return a single scalar so the host genuinely waits for completion —
+``block_until_ready`` alone does not force full materialization through the axon tunnel.
+Guides kernel optimization (SURVEY.md perf plan).
 """
 import os
 import time
@@ -17,8 +20,8 @@ def main():
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_default_matmul_precision', 'highest')
-    cpu = jax.devices('cpu')[0]
     accel = jax.devices()[0]
+    cpu = jax.devices('cpu')[0]
     jax.config.update('jax_default_device', cpu)
 
     from dgsqp_tpu.harness.samplers import sample_duel_initial_conditions
@@ -29,8 +32,11 @@ def main():
     from dgsqp_tpu.utils.math import regularized_convexification
 
     sc = build_chicane_scenario(N=N, theta_deg=45.0)
+    params = DGSQPParams(N=N, dt=sc.dt, reg=1e-3, nonmono_ls=True,
+                         line_search_iters=50, sqp_iters=50, p_tol=1e-3, d_tol=1e-3,
+                         beta=0.01, tau=0.5)
     solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints, sc.shared_constraints,
-                   sc.bounds, DGSQPParams(N=N, dt=sc.dt), print_method=None)
+                   sc.bounds, params, print_method=None)
     dtype = solver.dtype
     x0, u_ws, _, _ = sample_duel_initial_conditions(sc, B, seed=0)
     u0 = jax.vmap(solver.problem.stage_to_u)(jnp.asarray(u_ws, dtype))
@@ -39,33 +45,48 @@ def main():
     l0 = jnp.zeros((B, solver.n_c), dtype)
     u0, x0, up, l0 = (jax.device_put(a, accel) for a in (u0, x0, up, l0))
 
+    def scalarize(fn):
+        def wrapped(*args):
+            out = fn(*args)
+            leaves = jax.tree_util.tree_leaves(out)
+            return sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves
+                       if l.size), out
+        return wrapped
+
     def timeit(name, fn, *args, reps=3):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        f = jax.jit(scalarize(fn))
+        s, out = f(*args)
+        float(s)  # forces completion + warms the compile cache
         t0 = time.time()
         for _ in range(reps):
-            out = fn(*args)
-            jax.block_until_ready(out)
+            s, out = f(*args)
+            float(s)
         dt = (time.time() - t0) / reps
-        print(f'{name:28s} {dt * 1e3:9.1f} ms   ({dt * 1e6 / B:8.1f} us/game)')
+        print(f'{name:28s} {dt * 1e3:9.1f} ms   ({dt * 1e6 / B:8.1f} us/game)', flush=True)
         return out
 
-    eval_full = jax.jit(jax.vmap(lambda u, l, x, p: solver.problem.evaluate(
-        u, l, x, p, None, hessian=True)))
-    eval_lite = jax.jit(jax.vmap(lambda u, l, x, p: solver.problem.evaluate(
-        u, l, x, p, None, hessian=False)))
-    conv = jax.jit(jax.vmap(lambda Q: regularized_convexification(Q, 1e-3)))
-    qp = jax.jit(jax.vmap(lambda Q, q, G, g: solve_qp(Q, q, G, -g, tol=3e-7)))
-    rollout = jax.jit(jax.vmap(lambda u, x: solver.problem.rollout(u, x)))
+    eval_full = jax.vmap(lambda u, l, x, p: solver.problem.evaluate(
+        u, l, x, p, None, hessian=True))
+    eval_lite = jax.vmap(lambda u, l, x, p: solver.problem.evaluate(
+        u, l, x, p, None, hessian=False))
+    conv = jax.vmap(lambda Q: regularized_convexification(Q, 1e-3))
+    qp = jax.vmap(lambda Q, q, G, g: solve_qp(Q, q, G, -g, tol=3e-7))
+    rollout = jax.vmap(lambda u, x: solver.problem.rollout(u, x))
 
     print(f'# batch={B} N={N} platform={accel.platform} n_dec={solver.n_dec} '
-          f'n_c={solver.n_c}')
+          f'n_c={solver.n_c}', flush=True)
     timeit('rollout', rollout, u0, x0)
     out_l = timeit('evaluate (q,G,g)', eval_lite, u0, l0, x0, up)
     out_f = timeit('evaluate (+Q hessian)', eval_full, u0, l0, x0, up)
     Q, q, G, g, _ = out_f
     Qh = timeit('nearest_pd + reg (eigh)', conv, Q)
     timeit('QP (IPM + PDAS polish)', qp, Qh, q, G, g)
+
+    # one full solver chunk = 8 lockstep SQP iterations incl. line search / watchdog
+    init = jax.jit(jax.vmap(lambda u, l, x, u_p: solver._init_carry(u, l, x, u_p, None)))(
+        u0, l0, x0, up)
+    chunk = jax.vmap(lambda c, x, u_p: solver._chunk(c, x, u_p, None, 8))
+    timeit('solver chunk (8 SQP iters)', chunk, init, x0, up, reps=1)
 
 
 if __name__ == '__main__':
