@@ -67,7 +67,11 @@ class _Carry(NamedTuple):
 def _merit_phi(l, s, q, G, g, mu, use_l1: bool):
     """Merit = 1/2 ||KKT stationarity||^2 (+ mu * l1 violation)
     (reference ``DGSQP.py:962-976``)."""
-    d = q + G.T @ l
+    return _merit_phi_dg(q + G.T @ l, g, l, s, mu, use_l1)
+
+
+def _merit_phi_dg(d, g, l, s, mu, use_l1: bool):
+    """Merit from precomputed d = q + G'l (the Jacobian-free form)."""
     stat_norm = 0.5 * (jnp.dot(d, d) + jnp.dot(l, g) ** 2)
     if use_l1:
         return stat_norm + mu * jnp.sum(g - s)
@@ -175,8 +179,11 @@ class DGSQP:
             u_try = u + alpha * du
             l_try = l + alpha * dl
             s_try = s + alpha * ds
-            q_t, G_t, g_t = self._eval_lite(u_try, l_try, x0, up, P)
-            phi_try = _merit_phi(l_try, s_try, q_t, G_t, g_t, mu, use_l1)
+            # Jacobian-free merit evaluation: d = q + G'l directly via per-agent
+            # Lagrangian gradients (GameProblem.merit_terms) — the trial loop is the
+            # hot path and must not materialize G.
+            d_t, g_t = self.problem.merit_terms(u_try, l_try, x0, up, P)
+            phi_try = _merit_phi_dg(d_t, g_t, l_try, s_try, mu, use_l1)
             ok = phi_try <= phi0 + p.beta * alpha * dphi0
             # masked update: once done, values freeze
             u_n = jnp.where(done, u_t, u_try)
@@ -355,8 +362,8 @@ class DGSQP:
                 # ``DGSQP.py:535-557``): gradient map d(u) = q + G'l at fixed l.
                 q, G, g = self._eval_lite(c.u, c.l, x0, up, P)
                 d_now = q + G.T @ c.l
-                q_m, G_m, _ = self._eval_lite(c.B_u, c.l, x0, up, P)
-                d_prev = q_m + G_m.T @ c.l
+                # gradient map at the previous iterate: Jacobian-free (only d is needed)
+                d_prev = self.problem.stationarity(c.B_u, c.l, x0, up, P)
                 y = d_now - d_prev
                 sv = c.u - c.B_u
                 Bs = regularized_convexification(c.B, 0.0) @ sv

@@ -124,8 +124,13 @@ class DGSQPV2:
         'sum_obj_l1': sum_a J^a + mu*sum(s) (requires ``obj``)."""
         if self.params.merit_function == 'sum_obj_l1':
             return obj + mu * jnp.sum(s)
-        F = q + G.T @ l
-        val = 0.5 * jnp.dot(F, F)
+        return self._phi_d(q + G.T @ l, s, mu, use_l1)
+
+    def _phi_d(self, d, s, mu, use_l1: bool, obj=None):
+        """Merit from precomputed d = q + G'l (Jacobian-free form)."""
+        if self.params.merit_function == 'sum_obj_l1':
+            return obj + mu * jnp.sum(s)
+        val = 0.5 * jnp.dot(d, d)
         if use_l1:
             val = val + mu * jnp.sum(s)
         return val
@@ -197,12 +202,14 @@ class DGSQPV2:
             i, alpha, done, u_t, l_t, phi1_t = c
             u_try = u + alpha * du
             l_try = l + alpha * dl
-            q_t, G_t, g_t = self._eval_lite(u_try, l_try, x0, up, P)
+            # Jacobian-free merit evaluation (see GameProblem.merit_terms): the trial
+            # loop only needs d = q + G'l and g, never the full Jacobian.
+            d_t, g_t = self.problem.merit_terms(u_try, l_try, x0, up, P)
             s_t = jnp.maximum(0.0, g_t)
             obj_t = jnp.sum(self.problem.eval_costs(u_try, x0, up, P)) if sum_obj else None
-            phi_try = self._phi(l_try, s_t, q_t, G_t, g_t, mu, use_l1, obj=obj_t)
-            phi1_try = self._phi(l_try, s_t, q_t, G_t, g_t, jnp.asarray(1.0, self.dtype),
-                                 use_l1, obj=obj_t)
+            phi_try = self._phi_d(d_t, s_t, mu, use_l1, obj=obj_t)
+            phi1_try = self._phi_d(d_t, s_t, jnp.asarray(1.0, self.dtype),
+                                   use_l1, obj=obj_t)
             ok = phi_try <= ref(alpha)
             u_n = jnp.where(done, u_t, u_try)
             l_n = jnp.where(done, l_t, l_try)

@@ -457,6 +457,20 @@ class GameProblem:
             parts.append(self.agent_u_block(ga, a))
         return jnp.concatenate(parts)
 
+    def merit_terms(self, u_flat, l, x0, u_prev, P=None):
+        """Cheap merit-function ingredients: (d, g) with d = q + G'l.
+
+        ``d`` is computed as the stacked per-agent Lagrangian gradients
+        (:meth:`stationarity`) — M reverse-mode sweeps — instead of materializing the full
+        (n_c x n_dec) Jacobian that :meth:`evaluate` builds.  Line searches evaluate the
+        merit at every trial point, so this path is what bounds their cost (the reference
+        evaluates its merit through full casadi Jacobians, ``DGSQP.py:962-976``; on TPU the
+        Jacobian-free form is ~n_c/M times less backward-pass work).
+        """
+        d = self.stationarity(u_flat, l, x0, u_prev, P)
+        g = self.eval_constraints(u_flat, x0, u_prev, P)
+        return d, g
+
     def evaluate(self, u_flat, l, x0, u_prev, P=None, hessian: bool = True):
         """The reference's hot ``_evaluate`` (``DGSQP.py:509-533``).
 
