@@ -170,34 +170,31 @@ class DGSQP:
         phi0 = _merit_phi(l, s, q, G, g, mu, use_l1)
         dphi0 = _merit_dphi(du, l, dl, s, Q, q, G, g, mu, use_l1)
 
-        def cond(c):
-            i, alpha, done, u_t, l_t, phi_t = c
-            return (~done) & (i < p.line_search_iters)
+        # Parallel trial grid: backtracking visits alpha = tau^j in order and takes the
+        # FIRST Armijo-accepted trial, so evaluating the whole geometric grid at once and
+        # selecting the first accepted index is decision-identical — but it is ONE fixed-cost
+        # vmapped merit evaluation instead of a lockstep-serial while loop whose trip count
+        # is the max trial count over the whole game batch.  Merit trials are Jacobian-free
+        # (GameProblem.merit_terms).
+        W = p.line_search_iters
+        alphas = jnp.asarray(p.tau, self.dtype) ** jnp.arange(W, dtype=self.dtype)
 
-        def body(c):
-            i, alpha, done, u_t, l_t, phi_t = c
+        def phi_at(alpha):
             u_try = u + alpha * du
             l_try = l + alpha * dl
             s_try = s + alpha * ds
-            # Jacobian-free merit evaluation: d = q + G'l directly via per-agent
-            # Lagrangian gradients (GameProblem.merit_terms) — the trial loop is the
-            # hot path and must not materialize G.
             d_t, g_t = self.problem.merit_terms(u_try, l_try, x0, up, P)
-            phi_try = _merit_phi_dg(d_t, g_t, l_try, s_try, mu, use_l1)
-            ok = phi_try <= phi0 + p.beta * alpha * dphi0
-            # masked update: once done, values freeze
-            u_n = jnp.where(done, u_t, u_try)
-            l_n = jnp.where(done, l_t, l_try)
-            phi_n = jnp.where(done, phi_t, phi_try)
-            alpha_n = jnp.where(done | ok, alpha, alpha * p.tau)
-            return (i + 1, alpha_n, done | ok, u_n, l_n, phi_n)
+            return _merit_phi_dg(d_t, g_t, l_try, s_try, mu, use_l1)
 
-        one = jnp.asarray(1.0, self.dtype)
-        init = (jnp.asarray(0), one, ~enabled, u, l,
-                jnp.asarray(jnp.inf, self.dtype))
-        i, alpha, done, u_t, l_t, phi_t = jax.lax.while_loop(cond, body, init)
-        # phi of the untouched point for disabled games
-        phi_out = jnp.where(enabled, phi_t, phi0)
+        phis = jax.vmap(phi_at)(alphas)
+        ok = phis <= phi0 + p.beta * alphas * dphi0
+        # first accepted trial; on total failure the LAST trial (reference returns the
+        # final backtracked point on line-search failure, DGSQP.py:1057-1081)
+        idx = jnp.where(jnp.any(ok), jnp.argmax(ok), W - 1)
+        alpha_sel = alphas[idx]
+        u_t = jnp.where(enabled, u + alpha_sel * du, u)
+        l_t = jnp.where(enabled, l + alpha_sel * dl, l)
+        phi_out = jnp.where(enabled, phis[idx], phi0)
         return u_t, l_t, phi_out
 
     # ------------------------------------------------------------- globalization

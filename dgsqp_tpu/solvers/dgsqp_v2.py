@@ -194,32 +194,30 @@ class DGSQPV2:
             def ref(alpha):
                 return (1 - p.merit_decrease * alpha) * mem_max
 
-        def cond(c):
-            i, alpha, done, u_t, l_t, phi1_t = c
-            return (~done) & (i < p.line_search_iters)
+        # Parallel trial grid — decision-identical to first-accept backtracking but ONE
+        # fixed-cost vmapped evaluation instead of a lockstep-serial loop (see
+        # dgsqp._line_search for the rationale).  Merit trials are Jacobian-free.
+        W = p.line_search_iters
+        alphas = jnp.asarray(p.tau, self.dtype) ** jnp.arange(W, dtype=self.dtype)
 
-        def body(c):
-            i, alpha, done, u_t, l_t, phi1_t = c
+        def phis_at(alpha):
             u_try = u + alpha * du
             l_try = l + alpha * dl
-            # Jacobian-free merit evaluation (see GameProblem.merit_terms): the trial
-            # loop only needs d = q + G'l and g, never the full Jacobian.
             d_t, g_t = self.problem.merit_terms(u_try, l_try, x0, up, P)
             s_t = jnp.maximum(0.0, g_t)
             obj_t = jnp.sum(self.problem.eval_costs(u_try, x0, up, P)) if sum_obj else None
             phi_try = self._phi_d(d_t, s_t, mu, use_l1, obj=obj_t)
             phi1_try = self._phi_d(d_t, s_t, jnp.asarray(1.0, self.dtype),
                                    use_l1, obj=obj_t)
-            ok = phi_try <= ref(alpha)
-            u_n = jnp.where(done, u_t, u_try)
-            l_n = jnp.where(done, l_t, l_try)
-            phi1_n = jnp.where(done, phi1_t, phi1_try)
-            alpha_n = jnp.where(done | ok, alpha, alpha * p.tau)
-            return (i + 1, alpha_n, done | ok, u_n, l_n, phi1_n)
+            return phi_try, phi1_try
 
-        init = (jnp.asarray(0), jnp.asarray(1.0, self.dtype), ~enabled, u, l,
-                jnp.asarray(jnp.inf, self.dtype))
-        _, _, _, u_t, l_t, phi1 = jax.lax.while_loop(cond, body, init)
+        phis, phi1s = jax.vmap(phis_at)(alphas)
+        ok = phis <= ref(alphas)
+        idx = jnp.where(jnp.any(ok), jnp.argmax(ok), W - 1)
+        alpha_sel = alphas[idx]
+        u_t = jnp.where(enabled, u + alpha_sel * du, u)
+        l_t = jnp.where(enabled, l + alpha_sel * dl, l)
+        phi1 = jnp.where(enabled, phi1s[idx], jnp.asarray(jnp.inf, self.dtype))
         return u_t, l_t, phi1
 
     # ----------------------------------------------------------------- core loop
