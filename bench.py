@@ -63,9 +63,12 @@ def main():
         solver = DGSQPV2(sc.joint_model, sc.costs, sc.agent_constraints,
                          sc.shared_constraints, sc.bounds, params, print_method=None)
     else:
-        params = DGSQPParams(N=sc.N, dt=sc.dt, reg=1e-3, nonmono_ls=True,
+        params = DGSQPParams(N=sc.N, dt=sc.dt, reg=1e-3,
+                             nonmono_ls=os.environ.get('DGSQP_BENCH_NMLS', '1') == '1',
                              line_search_iters=50, sqp_iters=50, p_tol=1e-3, d_tol=1e-3,
-                             beta=0.01, tau=0.5, qp_tol=qp_tol)
+                             beta=0.01, tau=0.5, qp_tol=qp_tol,
+                             qp_max_iters=int(os.environ.get('DGSQP_BENCH_QP_ITERS', 25)),
+                             qp_solves_limit=150)
         solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,
                        sc.shared_constraints, sc.bounds, params, print_method=None)
     dtype = solver.dtype
@@ -107,6 +110,10 @@ def main():
     print(f'# solve time: {dur:.2f}s for {batch} games | conv_abs {conv * 100:.1f}% '
           f'(incl rel {conv_any * 100:.1f}%) | iters p50={np.median(iters):.0f} '
           f'max={iters.max()}', file=sys.stderr)
+    from dgsqp_tpu.solvers.dgsqp import STATUS_MSG
+    hist = {STATUS_MSG.get(int(s), str(s)): int((status == s).sum())
+            for s in np.unique(status)}
+    print(f'# status counts: {hist}', file=sys.stderr)
 
     target_per_chip = 500.0 / 16.0
     print(json.dumps({

@@ -34,9 +34,10 @@ from dgsqp_tpu.types import VehiclePrediction, VehicleState
 from dgsqp_tpu.utils.math import regularized_convexification
 
 # status codes
-RUNNING, CONV_ABS, CONV_REL, DIVERGED, QP_FAIL, MAX_IT = 0, 1, 2, 3, 4, 5
+RUNNING, CONV_ABS, CONV_REL, DIVERGED, QP_FAIL, MAX_IT, TIME_LIMIT = 0, 1, 2, 3, 4, 5, 6
 STATUS_MSG = {CONV_ABS: 'conv_abs_tol', CONV_REL: 'conv_rel_tol', DIVERGED: 'diverged',
-              QP_FAIL: 'qp_fail', MAX_IT: 'max_it', RUNNING: 'running'}
+              QP_FAIL: 'qp_fail', MAX_IT: 'max_it', RUNNING: 'running',
+              TIME_LIMIT: 'time_limit'}
 
 
 class SQPResult(NamedTuple):
@@ -156,7 +157,14 @@ class DGSQP:
         Qh = regularized_convexification(Q, self.params.reg)
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol,
                        max_iters=self.params.qp_max_iters)
-        return sol.x, sol.lam, sol.ok
+        # The reference takes whatever step its QP backend returns — it sets
+        # error_on_fail=False and never inspects the OSQP return status, so 'qp_fail'
+        # only fires on an exception (DGSQP.py:186,244-266).  Match that: reject the
+        # step only when the solution is non-finite, not when the accuracy certificate
+        # misses; the globalization machinery absorbs sloppy steps exactly as it does
+        # for loose OSQP (eps 1e-3) solutions.
+        finite = jnp.isfinite(sol.x).all() & jnp.isfinite(sol.lam).all()
+        return sol.x, sol.lam, finite
 
     def _line_search(self, enabled, u, du, l, dl, s, ds, Q, q, G, g, mu, x0, up, P):
         """Armijo backtracking (reference ``_line_search_3``, ``DGSQP.py:1057-1081``).
@@ -415,13 +423,20 @@ class DGSQP:
             conv_rel = active & (rel_its >= rel_tol_req) & (p_feas < xtol)
 
             it_next = c.it + jnp.where(active, 1, 0)
+            qp_solves = c.qp_solves + jnp.where(keep_going, qp_add, 0)
+            # deterministic analog of the reference's per-solve time_limit escape
+            # (DGSQP.py:470-474): bound the cumulative QP-solve budget per game
+            if p.qp_solves_limit is not None:
+                over_budget = qp_solves >= p.qp_solves_limit
+            else:
+                over_budget = jnp.asarray(False)
             new_status = jnp.where(converged, CONV_ABS,
                           jnp.where(diverged, DIVERGED,
                            jnp.where(~qp_ok, QP_FAIL,
                             jnp.where(conv_rel, CONV_REL,
-                             jnp.where(it_next >= p.sqp_iters, MAX_IT, RUNNING)))))
+                             jnp.where(it_next >= p.sqp_iters, MAX_IT,
+                              jnp.where(over_budget, TIME_LIMIT, RUNNING))))))
             status = jnp.where(running, new_status, c.status).astype(jnp.int32)
-            qp_solves = c.qp_solves + jnp.where(keep_going, qp_add, 0)
             p_feas = jnp.where(running, p_feas, c.p_feas)
             comp = jnp.where(running, comp, c.comp)
             stat = jnp.where(running, stat, c.stat)

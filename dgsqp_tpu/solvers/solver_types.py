@@ -90,6 +90,11 @@ class DGSQPParams(ControllerConfig):
     # TPU-native extensions
     qp_tol: float = 1e-8
     qp_max_iters: int = 50
+    # Deterministic analog of the reference's wall-clock ``time_limit`` escape
+    # (``DGSQP.py:470-474``): a game whose cumulative QP-solve count exceeds this budget
+    # stops with status 'time_limit' (not converged).  None = unlimited.  In batched
+    # lockstep execution this bounds how long pathological stragglers can hold the batch.
+    qp_solves_limit: Optional[int] = None
 
 
 @dataclass
