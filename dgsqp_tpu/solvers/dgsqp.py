@@ -65,6 +65,39 @@ class _Carry(NamedTuple):
     B_u: jnp.ndarray    # iterate at which B was last updated
 
 
+# flat round-machine modes (see DGSQP._make_round_body)
+FM_STEP, FM_AB, FM_INS2, FM_INS3, FM_FB = 0, 1, 2, 3, 4
+
+
+class _FlatCarry(NamedTuple):
+    """Per-game state of the flattened SQP+watchdog round machine."""
+    u: jnp.ndarray          # accepted iterate
+    l: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+    rel_its: jnp.ndarray
+    qp_solves: jnp.ndarray
+    p_feas: jnp.ndarray     # convergence quantities at the current iteration's start
+    comp: jnp.ndarray
+    stat: jnp.ndarray
+    mode: jnp.ndarray       # FM_* watchdog mode
+    t: jnp.ndarray          # watchdog relaxed-step counter
+    u_cur: jnp.ndarray      # current watchdog candidate
+    l_cur: jnp.ndarray
+    s_pred: jnp.ndarray     # predicted slack at u_cur (for the A/B merit check)
+    u_prev: jnp.ndarray     # last point before the most recent relaxed full step
+    l_prev: jnp.ndarray
+    u_k: jnp.ndarray        # iteration-start data (for the mode-4 fallback line search)
+    du_k: jnp.ndarray
+    l_k: jnp.ndarray
+    dl_k: jnp.ndarray
+    s_k: jnp.ndarray
+    ds_k: jnp.ndarray
+    mu: jnp.ndarray         # iteration merit penalty
+    phi_k: jnp.ndarray      # merit and directional derivative at the iteration start
+    dphi_k: jnp.ndarray
+
+
 def _merit_phi(l, s, q, G, g, mu, use_l1: bool):
     """Merit = 1/2 ||KKT stationarity||^2 (+ mu * l1 violation)
     (reference ``DGSQP.py:962-976``)."""
@@ -177,13 +210,17 @@ class DGSQP:
         use_l1 = p.merit_function == 'stat_l1'
         phi0 = _merit_phi(l, s, q, G, g, mu, use_l1)
         dphi0 = _merit_dphi(du, l, dl, s, Q, q, G, g, mu, use_l1)
+        return self._grid_ls(enabled, u, du, l, dl, s, ds, phi0, dphi0, mu, x0, up, P)
 
-        # Parallel trial grid: backtracking visits alpha = tau^j in order and takes the
-        # FIRST Armijo-accepted trial, so evaluating the whole geometric grid at once and
-        # selecting the first accepted index is decision-identical — but it is ONE fixed-cost
-        # vmapped merit evaluation instead of a lockstep-serial while loop whose trip count
-        # is the max trial count over the whole game batch.  Merit trials are Jacobian-free
-        # (GameProblem.merit_terms).
+    def _grid_ls(self, enabled, u, du, l, dl, s, ds, phi0, dphi0, mu, x0, up, P):
+        """Parallel trial grid: backtracking visits alpha = tau^j in order and takes the
+        FIRST Armijo-accepted trial, so evaluating the whole geometric grid at once and
+        selecting the first accepted index is decision-identical — but it is ONE fixed-cost
+        vmapped merit evaluation instead of a lockstep-serial while loop whose trip count
+        is the max trial count over the whole game batch.  Merit trials are Jacobian-free
+        (GameProblem.merit_terms)."""
+        p = self.params
+        use_l1 = p.merit_function == 'stat_l1'
         W = p.line_search_iters
         alphas = jnp.asarray(p.tau, self.dtype) ** jnp.arange(W, dtype=self.dtype)
 
@@ -446,6 +483,227 @@ class DGSQP:
 
         return body
 
+    # --------------------------------------------- flattened round machine
+    def _make_round_body(self, x0, up, P):
+        """One lockstep ROUND of the flattened SQP+watchdog machine.
+
+        The nested formulation (``_make_body`` + ``_watchdog``) runs a while-loop of
+        watchdog rounds INSIDE each SQP iteration; under ``vmap`` every game pays the
+        slowest game's round count in every iteration (sum over iterations of the
+        batch max).  Here the watchdog mode machine is hoisted to the top level: every
+        round is exactly one evaluate + one convexified QP + one grid line search, and
+        each game advances its own (iteration, watchdog-mode) state — the batch cost
+        becomes the max over games of their own total round counts.  Decisions are
+        identical to the nested machine (which mirrors the reference
+        ``_watchdog_line_search_4``, ``DGSQP.py:1174-1288``).
+
+        Mode map (nested watchdog mode in parens): FM_STEP = evaluate + QP at the
+        accepted iterate to form a fresh step; FM_AB (0) = relaxed full-step A/B check,
+        fused with next-step formation on acceptance; FM_INS2/FM_INS3 (2/3) = insurance
+        QP + line search; FM_FB (4) = fallback line search along the iteration's
+        original step.
+        """
+        p = self.params
+        dtype = self.dtype
+        xtol, ltol = p.p_tol, p.d_tol
+        rel_tol_req = 3
+        t_hat = 5
+        merit_max = 1e6
+        use_l1 = p.merit_function == 'stat_l1'
+
+        def body(c: _FlatCarry) -> _FlatCarry:
+            running = c.status == RUNNING
+            is_step = c.mode == FM_STEP
+            is_ab = c.mode == FM_AB
+            is_2 = c.mode == FM_INS2
+            is_3 = c.mode == FM_INS3
+            is_fb = c.mode == FM_FB
+
+            u_eval = jnp.where(is_step, c.u, c.u_cur)
+            l_eval = jnp.where(is_step, c.l, c.l_cur)
+
+            # ---- the round's single evaluate + QP
+            Q_t, q_t, G_t, g_t, _ = self._eval_full(u_eval, l_eval, x0, up, P)
+            d_t = q_t + G_t.T @ l_eval
+            p_feas_t = jnp.maximum(0.0, jnp.max(g_t)) if self.n_c > 0 \
+                else jnp.asarray(0.0, dtype)
+            comp_t = jnp.max(jnp.abs(g_t * l_eval)) if self.n_c > 0 \
+                else jnp.asarray(0.0, dtype)
+            stat_t = jnp.max(jnp.abs(d_t))
+
+            du_t, lhat_t, fin = self._qp(Q_t, q_t, G_t, g_t)
+            dl_t = lhat_t - l_eval
+            s_t = jnp.minimum(0.0, g_t)
+            ds_t = g_t + G_t @ du_t - s_t
+
+            # step-formation quantities (used by FM_STEP and fused FM_AB-acceptance)
+            mu_t = _get_mu(du_t, l_eval, dl_t, s_t, Q_t, q_t, G_t, g_t, p.merit_function)
+            phi_t = _merit_phi(l_eval, s_t, q_t, G_t, g_t, mu_t, use_l1)
+            dphi_t = _merit_dphi(du_t, l_eval, dl_t, s_t, Q_t, q_t, G_t, g_t, mu_t, use_l1)
+
+            # A/B candidate merit at u_cur with the ITERATION's mu and predicted slack
+            phi_cur = _merit_phi(l_eval, c.s_pred, q_t, G_t, g_t, c.mu, use_l1)
+
+            # ---- the round's single grid line search (modes 2/3 use this round's
+            # step from u_cur; mode 4 uses the stored iteration-start step)
+            phi0_23 = _merit_phi(l_eval, s_t, q_t, G_t, g_t, c.mu, use_l1)
+            dphi0_23 = _merit_dphi(du_t, l_eval, dl_t, s_t, Q_t, q_t, G_t, g_t, c.mu,
+                                   use_l1)
+            ls_en = ((is_2 | is_3) & fin) | is_fb
+            ls_u = jnp.where(is_fb, c.u_k, u_eval)
+            ls_du = jnp.where(is_fb, c.du_k, du_t)
+            ls_l = jnp.where(is_fb, c.l_k, l_eval)
+            ls_dl = jnp.where(is_fb, c.dl_k, dl_t)
+            ls_s = jnp.where(is_fb, c.s_k, s_t)
+            ls_ds = jnp.where(is_fb, c.ds_k, ds_t)
+            ls_phi0 = jnp.where(is_fb, c.phi_k, phi0_23)
+            ls_dphi0 = jnp.where(is_fb, c.dphi_k, dphi0_23)
+            u_ls, l_ls, phi_ls = self._grid_ls(ls_en, ls_u, ls_du, ls_l, ls_dl, ls_s,
+                                               ls_ds, ls_phi0, ls_dphi0, c.mu, x0, up, P)
+
+            # ---------------- decisions
+            accept_ref = c.phi_k + p.beta * c.dphi_k
+            over_max = is_ab & (phi_cur > merit_max) & (c.t > 1)
+            accepted = is_ab & (phi_cur <= accept_ref) & ~over_max
+            exhausted = is_ab & ~accepted & ~over_max & (c.t >= t_hat + 1)
+            cont = is_ab & ~accepted & ~over_max & ~exhausted
+
+            m2_fail = is_2 & ~fin
+            m2_acc = is_2 & fin & (phi_ls <= accept_ref)
+            m2_worse = is_2 & fin & (phi_ls > c.phi_k) & ~m2_acc
+            m2_cont = is_2 & fin & ~m2_acc & ~m2_worse
+            m3_fail = is_3 & ~fin
+            m3_done = is_3 & fin
+
+            # ---------------- iteration completion (install the new iterate)
+            complete = accepted | m2_acc | m3_done | is_fb
+            via_ls = m2_acc | m3_done | is_fb
+            u_new = jnp.where(accepted, u_eval, jnp.where(via_ls, u_ls, c.u))
+            l_new = jnp.where(accepted, l_eval, jnp.where(via_ls, l_ls, c.l))
+
+            small = (jnp.linalg.norm(u_new - c.u) < xtol / 2) & \
+                    (jnp.linalg.norm(l_new - c.l) < ltol / 2)
+            rel_its = jnp.where(complete, jnp.where(small, c.rel_its + 1, 0), c.rel_its)
+            conv_rel = complete & (rel_its >= rel_tol_req) & (c.p_feas < xtol)
+            it_new = c.it + jnp.where(complete, 1, 0)
+
+            # ---------------- status cascade
+            status = c.status
+            # FM_STEP: iteration-start convergence/divergence checks (nested body top)
+            diverged_t = stat_t > 1e5
+            converged_t = (p_feas_t < xtol) & (comp_t < ltol) & (stat_t < ltol)
+            step_term = is_step & (converged_t | diverged_t)
+            status = jnp.where(is_step & converged_t, CONV_ABS, status)
+            status = jnp.where(is_step & diverged_t & ~converged_t, DIVERGED, status)
+            step_qp_fail = is_step & ~step_term & ~fin
+            status = jnp.where(step_qp_fail, QP_FAIL, status)
+            step_go = is_step & ~step_term & ~step_qp_fail
+
+            # completion-time checks (nested body tail: conv_rel > max_it > budget)
+            over_it = it_new >= p.sqp_iters
+            status = jnp.where(complete & conv_rel, CONV_REL, status)
+            status = jnp.where(complete & ~conv_rel & over_it, MAX_IT, status)
+
+            # fused next-iteration checks on acceptance (nested next-body top)
+            acc_go0 = accepted & ~conv_rel & ~over_it
+            status = jnp.where(acc_go0 & converged_t, CONV_ABS, status)
+            status = jnp.where(acc_go0 & diverged_t & ~converged_t, DIVERGED, status)
+            acc_body = acc_go0 & ~converged_t & ~diverged_t
+            status = jnp.where(acc_body & ~fin, QP_FAIL, status)
+            acc_go = acc_body & fin
+
+            # QP accounting + the budget escape (reference time_limit analog)
+            qp_inc = (is_step & ~step_term) | acc_body | cont | is_2 | is_3
+            qp_solves = c.qp_solves + jnp.where(qp_inc, 1, 0)
+            if p.qp_solves_limit is not None:
+                over_budget = complete & (status == RUNNING) & \
+                    (qp_solves >= p.qp_solves_limit)
+                status = jnp.where(over_budget, TIME_LIMIT, status)
+
+            # ---------------- carry updates
+            form = step_go | acc_go          # a fresh step was installed this round
+            advance = form | (cont & fin)    # candidate moves to u_eval + du_t
+
+            u_k = jnp.where(form, u_eval, c.u_k)
+            du_k = jnp.where(form, du_t, c.du_k)
+            l_k = jnp.where(form, l_eval, c.l_k)
+            dl_k = jnp.where(form, dl_t, c.dl_k)
+            s_k = jnp.where(form, s_t, c.s_k)
+            ds_k = jnp.where(form, ds_t, c.ds_k)
+            mu_n = jnp.where(form, mu_t, c.mu)
+            phi_k = jnp.where(form, phi_t, c.phi_k)
+            dphi_k = jnp.where(form, dphi_t, c.dphi_k)
+
+            u_prev = jnp.where(advance, u_eval, c.u_prev)
+            l_prev = jnp.where(advance, l_eval, c.l_prev)
+            u_cur = jnp.where(advance, u_eval + du_t,
+                              jnp.where(over_max, c.u_prev,
+                                        jnp.where(m2_cont, u_ls, c.u_cur)))
+            l_cur = jnp.where(advance, lhat_t,
+                              jnp.where(over_max, c.l_prev,
+                                        jnp.where(m2_cont, l_ls, c.l_cur)))
+            s_pred = jnp.where(advance, s_t + ds_t, c.s_pred)
+            t_n = jnp.where(form, 1, jnp.where(cont & fin, c.t + 1, c.t))
+
+            mode = c.mode
+            mode = jnp.where(form, FM_AB, mode)
+            mode = jnp.where(cont & ~fin, FM_FB, mode)
+            mode = jnp.where(over_max | exhausted, FM_INS2, mode)
+            mode = jnp.where(m2_fail | m2_worse | m3_fail, FM_FB, mode)
+            mode = jnp.where(m2_cont, FM_INS3, mode)
+            mode = jnp.where(via_ls, FM_STEP, mode)
+
+            u_out = jnp.where(complete, u_new, c.u)
+            l_out = jnp.where(complete, l_new, c.l)
+
+            # iteration-start convergence telemetry (updated whenever this round
+            # evaluated an accepted iterate: FM_STEP rounds and fused acceptances)
+            upd = is_step | accepted
+            p_feas_n = jnp.where(upd, p_feas_t, c.p_feas)
+            comp_n = jnp.where(upd, comp_t, c.comp)
+            stat_n = jnp.where(upd, stat_t, c.stat)
+
+            new = _FlatCarry(u_out, l_out, it_new, status.astype(jnp.int32), rel_its,
+                             qp_solves, p_feas_n, comp_n, stat_n, mode, t_n,
+                             u_cur, l_cur, s_pred, u_prev, l_prev,
+                             u_k, du_k, l_k, dl_k, s_k, ds_k, mu_n, phi_k, dphi_k)
+            # frozen games keep their state verbatim
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(running, n, o), new, c)
+
+        return body
+
+    def _init_flat_carry(self, u0, l0) -> _FlatCarry:
+        dtype = self.dtype
+        u0 = jnp.asarray(u0, dtype)
+        l0 = jnp.asarray(l0, dtype)
+        z = jnp.asarray(0.0, dtype)
+        return _FlatCarry(u=u0, l=l0, it=jnp.asarray(0), status=jnp.asarray(RUNNING, jnp.int32),
+                          rel_its=jnp.asarray(0), qp_solves=jnp.asarray(0),
+                          p_feas=jnp.asarray(jnp.inf, dtype), comp=jnp.asarray(jnp.inf, dtype),
+                          stat=jnp.asarray(jnp.inf, dtype),
+                          mode=jnp.asarray(FM_STEP), t=jnp.asarray(1),
+                          u_cur=u0, l_cur=l0, s_pred=jnp.zeros(self.n_c, dtype),
+                          u_prev=u0, l_prev=l0,
+                          u_k=u0, du_k=jnp.zeros_like(u0), l_k=l0, dl_k=jnp.zeros_like(l0),
+                          s_k=jnp.zeros(self.n_c, dtype), ds_k=jnp.zeros(self.n_c, dtype),
+                          mu=z, phi_k=z, dphi_k=z)
+
+    def _solve_core_flat(self, u0, l0, x0, up, P=None) -> SQPResult:
+        body = self._make_round_body(x0, up, P)
+        init = self._init_flat_carry(u0, l0)
+        c = jax.lax.while_loop(lambda cc: cc.status == RUNNING, body, init)
+        return self._finalize(c, x0, up, P)
+
+    def _use_flat(self) -> bool:
+        p = self.params
+        mode = getattr(p, 'execution', 'auto')
+        if mode == 'nested':
+            return False
+        if mode == 'flat':
+            return True
+        return p.nonmono_ls and p.hessian_approximation == 'none'
+
     def _init_carry(self, u0, l0, x0, up, P=None) -> _Carry:
         p = self.params
         dtype = self.dtype
@@ -475,6 +733,8 @@ class DGSQP:
         return SQPResult(c.u, c.l, c.status, c.it, c.qp_solves, p_feas, comp, stat)
 
     def _solve_core(self, u0, l0, x0, up, P=None) -> SQPResult:
+        if self._use_flat():
+            return self._solve_core_flat(u0, l0, x0, up, P)
         body = self._make_body(x0, up, P)
         init = self._init_carry(u0, l0, x0, up, P)
         c = jax.lax.while_loop(lambda cc: cc.status == RUNNING, body, init)
@@ -491,8 +751,24 @@ class DGSQP:
 
     def solve_batch_chunked(self, u0, l0, x0, up, P=None, chunk_iters: int = 8,
                             max_chunks: Optional[int] = None, verbose: bool = False):
-        """Batched solve as a host loop over short jitted chunks."""
-        if not hasattr(self, '_chunk_jit'):
+        """Batched solve as a host loop over short jitted chunks.
+
+        In flat (round-machine) execution each chunk step is one ROUND, which is much
+        cheaper than a nested SQP iteration, so more of them fit per device program."""
+        if self._use_flat():
+            flat_chunk = 4 * chunk_iters
+            if not hasattr(self, '_chunk_jit'):
+                def chunk_rounds(c, x, u_p):
+                    body = self._make_round_body(x, u_p, None)
+                    return jax.lax.fori_loop(0, flat_chunk, lambda i, cc: body(cc), c)
+                self._chunk_jit = jax.jit(jax.vmap(chunk_rounds))
+                self._init_jit = jax.jit(jax.vmap(
+                    lambda u, l, x, u_p: self._init_flat_carry(u, l)))
+                self._final_jit = jax.jit(jax.vmap(
+                    lambda c, x, u_p: self._finalize(c, x, u_p, None)))
+            # generous round budget: every iteration can cost up to ~9 rounds
+            max_chunks = max_chunks or (10 * self.params.sqp_iters // flat_chunk + 4)
+        elif not hasattr(self, '_chunk_jit'):
             self._chunk_jit = jax.jit(jax.vmap(
                 lambda c, x, u_p: self._chunk(c, x, u_p, None, chunk_iters)))
             self._init_jit = jax.jit(jax.vmap(

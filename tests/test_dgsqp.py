@@ -174,3 +174,70 @@ def test_chunked_batch_matches_while_loop():
     np.testing.assert_array_equal(np.asarray(res_w.status), np.asarray(res_c.status))
     np.testing.assert_allclose(np.asarray(res_w.u), np.asarray(res_c.u), atol=1e-10)
     np.testing.assert_array_equal(np.asarray(res_w.iters), np.asarray(res_c.iters))
+
+
+def test_flat_execution_matches_nested():
+    """The flattened round machine must make the same decisions as the nested
+    SQP+watchdog formulation (same statuses, same solutions)."""
+    m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+    def stage(x, u, um):
+        return 0.5 * u[0] ** 2
+
+    def term_0(x):
+        return 0.5 * 100.0 * (x[0] - 1.0) ** 2 + 0.3 * x[0] * x[1]
+
+    def term_1(x):
+        return 0.5 * 100.0 * (x[1] - 1.0) ** 2 + 0.3 * x[0] * x[1]
+
+    def sh(x, u, um):
+        return jnp.array([x[0] + x[1] - 1.0])
+
+    def sh_term(x):
+        return jnp.array([x[0] + x[1] - 1.0])
+
+    shared = [None] + [sh] * (N - 1) + [sh_term]
+    ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+    lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+    bounds = {'ub': [ub, ub], 'lb': [lb, lb]}
+    costs = [(stage, term_0), (stage, term_1)]
+
+    solvers = {}
+    for mode in ('flat', 'nested'):
+        params = DGSQPParams(N=N, dt=DT, reg=1e-3, p_tol=1e-6, d_tol=1e-6,
+                             sqp_iters=50, nonmono_ls=True, beta=0.01, tau=0.5,
+                             execution=mode)
+        solvers[mode] = DGSQP(joint, costs, [None, None], shared, bounds, params,
+                              print_method=None)
+
+    rng = np.random.default_rng(3)
+    B = 6
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 2)))
+    u0 = jnp.zeros((B, 2 * N))
+    l0 = jnp.zeros((B, solvers['flat'].n_c))
+    ups = jnp.zeros((B, 2))
+    res_f = solvers['flat']._solve_batch_jit(u0, l0, x0s, ups, None)
+    res_n = solvers['nested']._solve_batch_jit(u0, l0, x0s, ups, None)
+    assert np.array_equal(np.asarray(res_f.status), np.asarray(res_n.status)), \
+        (np.asarray(res_f.status), np.asarray(res_n.status))
+    np.testing.assert_array_equal(np.asarray(res_f.iters), np.asarray(res_n.iters))
+    np.testing.assert_allclose(np.asarray(res_f.u), np.asarray(res_n.u), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_f.qp_solves), np.asarray(res_n.qp_solves))
+
+
+def test_flat_chunked_matches_flat_while():
+    solver = _integrator_game(gamma=0.2, coupled_constraint=True)
+    solver.params.nonmono_ls = True
+    solver.params.execution = 'flat'
+    rng = np.random.default_rng(5)
+    B = 4
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 2)))
+    u0 = jnp.zeros((B, 2 * N))
+    l0 = jnp.zeros((B, solver.n_c))
+    ups = jnp.zeros((B, 2))
+    res_w = jax.jit(jax.vmap(solver._solve_core))(u0, l0, x0s, ups, None)
+    res_c = solver.solve_batch_chunked(u0, l0, x0s, ups)
+    assert np.array_equal(np.asarray(res_w.status), np.asarray(res_c.status))
+    np.testing.assert_allclose(np.asarray(res_w.u), np.asarray(res_c.u), atol=0, rtol=0)
