@@ -63,12 +63,17 @@ def main():
         solver = DGSQPV2(sc.joint_model, sc.costs, sc.agent_constraints,
                          sc.shared_constraints, sc.bounds, params, print_method=None)
     else:
+        # line_search_iters: the reference config uses 50, but trials beyond ~20 have
+        # alpha <= tau^20 ~ 1e-6 whose accepted point is numerically identical to the
+        # line-search-failure return; 20 keeps the decisions while trimming the grid.
         params = DGSQPParams(N=sc.N, dt=sc.dt, reg=1e-3,
                              nonmono_ls=os.environ.get('DGSQP_BENCH_NMLS', '1') == '1',
-                             line_search_iters=50, sqp_iters=50, p_tol=1e-3, d_tol=1e-3,
+                             line_search_iters=int(os.environ.get('DGSQP_BENCH_LS', 20)),
+                             sqp_iters=int(os.environ.get('DGSQP_BENCH_SQP_ITERS', 50)),
+                             p_tol=1e-3, d_tol=1e-3,
                              beta=0.01, tau=0.5, qp_tol=qp_tol,
                              qp_max_iters=int(os.environ.get('DGSQP_BENCH_QP_ITERS', 25)),
-                             qp_solves_limit=150)
+                             qp_solves_limit=int(os.environ.get('DGSQP_BENCH_QP_BUDGET', 100)))
         solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,
                        sc.shared_constraints, sc.bounds, params, print_method=None)
     dtype = solver.dtype
@@ -114,6 +119,10 @@ def main():
     hist = {STATUS_MSG.get(int(s), str(s)): int((status == s).sum())
             for s in np.unique(status)}
     print(f'# status counts: {hist}', file=sys.stderr)
+    ch = getattr(solver, 'last_chunk_history', None)
+    if ch:
+        prof = [c['running'] for c in ch]
+        print(f'# chunks: {len(ch)} | running-after-chunk: {prof}', file=sys.stderr)
 
     target_per_chip = 500.0 / 16.0
     print(json.dumps({

@@ -756,19 +756,9 @@ class DGSQP:
         In flat (round-machine) execution each chunk step is one ROUND, which is much
         cheaper than a nested SQP iteration, so more of them fit per device program."""
         if self._use_flat():
-            flat_chunk = 4 * chunk_iters
-            if not hasattr(self, '_chunk_jit'):
-                def chunk_rounds(c, x, u_p):
-                    body = self._make_round_body(x, u_p, None)
-                    return jax.lax.fori_loop(0, flat_chunk, lambda i, cc: body(cc), c)
-                self._chunk_jit = jax.jit(jax.vmap(chunk_rounds))
-                self._init_jit = jax.jit(jax.vmap(
-                    lambda u, l, x, u_p: self._init_flat_carry(u, l)))
-                self._final_jit = jax.jit(jax.vmap(
-                    lambda c, x, u_p: self._finalize(c, x, u_p, None)))
-            # generous round budget: every iteration can cost up to ~9 rounds
-            max_chunks = max_chunks or (10 * self.params.sqp_iters // flat_chunk + 4)
-        elif not hasattr(self, '_chunk_jit'):
+            return self._solve_batch_chunked_flat(u0, l0, x0, up, chunk_iters,
+                                                  max_chunks, verbose)
+        if not hasattr(self, '_chunk_jit'):
             self._chunk_jit = jax.jit(jax.vmap(
                 lambda c, x, u_p: self._chunk(c, x, u_p, None, chunk_iters)))
             self._init_jit = jax.jit(jax.vmap(
@@ -789,6 +779,95 @@ class DGSQP:
             if n_run == 0:
                 break
         res = self._final_jit(carry, x0, up)
+        self.last_chunk_history = history
+        return res
+
+    def _solve_batch_chunked_flat(self, u0, l0, x0, up, chunk_iters: int = 8,
+                                  max_chunks: Optional[int] = None,
+                                  verbose: bool = False):
+        """Flat-execution batch solve: host loop over round chunks WITH batch compaction.
+
+        After each chunk the finished games are harvested to a host-side store and the
+        still-running stragglers continue in a smaller power-of-two batch — the tail of a
+        Monte-Carlo sweep then costs compute proportional to the number of games still
+        solving instead of the original batch size.  Compaction is skipped when the
+        inputs are sharded over multiple devices (SPMD runs keep their static layout).
+        """
+        flat_rounds = 4 * chunk_iters
+        if not hasattr(self, '_flat_fns'):
+            def chunk_rounds(c, x, u_p):
+                body = self._make_round_body(x, u_p, None)
+                return jax.lax.fori_loop(0, flat_rounds, lambda i, cc: body(cc), c)
+            self._flat_fns = (
+                jax.jit(jax.vmap(chunk_rounds)),
+                jax.jit(jax.vmap(lambda u, l: self._init_flat_carry(u, l))),
+                jax.jit(jax.vmap(lambda c, x, u_p: self._finalize(c, x, u_p, None))))
+        chunk_fn, init_fn, final_fn = self._flat_fns
+
+        def multi_device(a):
+            sh = getattr(a, 'sharding', None)
+            return sh is not None and len(getattr(sh, 'device_set', ())) > 1
+
+        can_compact = not any(multi_device(a) for a in (u0, l0, x0, up))
+        B0 = u0.shape[0]
+        min_bucket = getattr(self, '_compact_min_bucket', 16)
+        # keep compacted batches on the device the inputs live on — jnp.asarray alone
+        # would land them on the DEFAULT device (often pinned to host CPU in harnesses),
+        # silently moving the remaining chunks off the accelerator
+        try:
+            target_dev = list(u0.devices())[0]
+        except Exception:
+            target_dev = None
+
+        def to_dev(a):
+            return jax.device_put(a, target_dev) if target_dev is not None \
+                else jnp.asarray(a)
+
+        x0_h = np.asarray(x0)
+        up_h = np.asarray(up)
+        carry = init_fn(u0, l0)
+        store = jax.tree_util.tree_map(lambda a: np.array(a), carry)  # writable copies
+        idx = np.arange(B0)              # original game index of each live slot
+        valid = np.ones(B0, bool)        # live slot holds a real (non-pad) game
+        x0_c, up_c = jnp.asarray(x0), jnp.asarray(up)
+        history = []
+        max_chunks = max_chunks or (10 * self.params.sqp_iters // flat_rounds + 6)
+
+        def harvest(carry):
+            carry_h = jax.tree_util.tree_map(np.asarray, carry)
+            for s_leaf, c_leaf in zip(store, carry_h):
+                s_leaf[idx[valid]] = c_leaf[valid]
+            return carry_h
+
+        for i in range(max_chunks):
+            carry = chunk_fn(carry, x0_c, up_c)
+            status_h = np.asarray(carry.status)
+            running = (status_h == RUNNING) & valid
+            n_run = int(running.sum())
+            history.append(dict(chunk=i, running=n_run, batch=int(valid.size)))
+            if verbose:
+                print(f'chunk {i}: {n_run} games still running '
+                      f'(batch {valid.size})')
+            if n_run == 0:
+                harvest(carry)
+                break
+            bucket = max(min_bucket, 1 << (n_run - 1).bit_length())
+            if can_compact and bucket <= valid.size // 2:
+                carry_h = harvest(carry)
+                sel = np.where(running)[0]
+                pad = np.concatenate([sel, np.repeat(sel[:1], bucket - sel.size)])
+                carry = jax.tree_util.tree_map(
+                    lambda a: to_dev(a[pad]), carry_h)
+                idx = idx[pad]
+                valid = np.zeros(bucket, bool)
+                valid[:sel.size] = True
+                x0_c = to_dev(x0_h[idx])
+                up_c = to_dev(up_h[idx])
+        else:
+            harvest(carry)
+
+        final_carry = jax.tree_util.tree_map(to_dev, _FlatCarry(*store))
+        res = final_fn(final_carry, to_dev(x0_h), to_dev(up_h))
         self.last_chunk_history = history
         return res
 

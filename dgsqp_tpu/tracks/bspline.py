@@ -206,9 +206,16 @@ class BSplineTrack:
         return 0
 
     def get_track_segment(self, s_range, resample: Optional[int] = None):
-        """Extract a sub-track over [s0, s1] (reference ``casadi_bspline_track.py:173-194``)."""
+        """Extract a sub-track over [s0, s1].  ``resample`` is a points-per-unit-length
+        resolution, matching the reference (``casadi_bspline_track.py:173-194``:
+        ``n = resample_resolution * (s1 - s0)``)."""
         s0, s1 = s_range
-        n = resample or max(8, int((s1 - s0) / (self.track_length / len(self.s_waypoints))))
+        s0 = max(s0, float(self.s_waypoints[0]))
+        s1 = min(s1, float(self.s_waypoints[-1]))
+        if resample:
+            n = max(8, int(resample * (s1 - s0)))
+        else:
+            n = max(8, int((s1 - s0) / (self.track_length / len(self.s_waypoints))))
         s = np.linspace(s0, s1, n)
         sj = jnp.asarray(s)
         xy = np.stack([np.asarray(self.x(sj)), np.asarray(self.y(sj))], axis=-1)

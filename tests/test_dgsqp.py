@@ -241,3 +241,43 @@ def test_flat_chunked_matches_flat_while():
     res_c = solver.solve_batch_chunked(u0, l0, x0s, ups)
     assert np.array_equal(np.asarray(res_w.status), np.asarray(res_c.status))
     np.testing.assert_allclose(np.asarray(res_w.u), np.asarray(res_c.u), atol=0, rtol=0)
+
+
+def test_flat_compaction_matches_uncompacted():
+    """Batch compaction (harvest finished games, continue stragglers in a smaller
+    batch) must not change any game's result."""
+    m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+    def stage(x, u, um):
+        return 0.5 * u[0] ** 2
+
+    def term_0(x):
+        return 0.5 * 100.0 * (x[0] - 1.0) ** 2 + 0.5 * jnp.tanh(x[0] - x[1])
+
+    def term_1(x):
+        return 0.5 * 100.0 * (x[1] - 1.0) ** 2 + 0.5 * jnp.tanh(x[1] - x[0])
+
+    ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+    lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+    params = DGSQPParams(N=N, dt=DT, reg=1e-3, p_tol=1e-8, d_tol=1e-8,
+                         sqp_iters=50, nonmono_ls=True, beta=0.01, tau=0.5)
+    solver = DGSQP(joint, [(stage, term_0), (stage, term_1)], [None, None], None,
+                   {'ub': [ub, ub], 'lb': [lb, lb]}, params, print_method=None)
+    solver._compact_min_bucket = 2
+
+    rng = np.random.default_rng(11)
+    B = 8
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, 2)))
+    u0 = jnp.zeros((B, 2 * N))
+    l0 = jnp.zeros((B, solver.n_c))
+    ups = jnp.zeros((B, 2))
+    res_ref = jax.jit(jax.vmap(solver._solve_core))(u0, l0, x0s, ups, None)
+    res_c = solver.solve_batch_chunked(u0, l0, x0s, ups, chunk_iters=1)
+    assert np.array_equal(np.asarray(res_ref.status), np.asarray(res_c.status))
+    np.testing.assert_allclose(np.asarray(res_ref.u), np.asarray(res_c.u),
+                               atol=1e-12)
+    # with 4-round chunks the staggered finishes should actually shrink the batch
+    batches = [h['batch'] for h in solver.last_chunk_history]
+    assert batches[0] == B

@@ -1,0 +1,47 @@
+"""F1 comparison-study harness: track segment, raceline, sampler, one batched solve.
+
+Mirrors the reference study setup (``scripts/comparison_study_f1/``): B-spline Austin
+segment, TUM raceline ICs, progress-augmented dynamic-bicycle approximate game.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dgsqp_tpu.harness.f1_study import (build_f1_scenario, f1_raceline,
+                                        f1_solver_params, f1_track_segment,
+                                        run_f1_study, sample_f1_initial_conditions)
+
+
+def test_f1_track_segment_and_raceline():
+    track = f1_track_segment()
+    assert 19.0 < track.track_length <= 20.5
+    raceline, s2t, mat = f1_raceline()
+    # raceline s-column spans the segment and stays on track
+    assert mat[0, 7] < 1.0 and mat[-1, 7] > 18.0
+    s_test = jnp.asarray(5.0)
+    lw = float(track.left_width(s_test))
+    rw = float(track.right_width(s_test))
+    assert lw > 0 and rw > 0
+    ey = mat[np.argmin(np.abs(mat[:, 7] - 5.0)), 8]
+    assert -rw - 0.1 <= ey <= lw + 0.1
+
+
+def test_f1_sampler_valid_states():
+    sc = build_f1_scenario(N=5)
+    x0, u_ws, v_ref, ey_ref = sample_f1_initial_conditions(sc, 4, seed=2)
+    assert x0.shape == (4, 14)
+    assert u_ws.shape == (4, 5, 6)
+    # no initial collisions
+    d2 = np.sum((x0[:, 3:5] - x0[:, 10:12]) ** 2, axis=1)
+    assert (d2 >= sc.obs_d ** 2).all()
+    # car 2 starts ahead
+    assert (x0[:, 13] >= x0[:, 6]).all()
+
+
+def test_f1_study_solves():
+    out = run_f1_study(N=5, num_samples=2, seed=0,
+                       params=f1_solver_params(5, sqp_iters=60))
+    assert out['total'] == 2
+    assert np.isfinite(out['u_sol']).all()
+    # the approximate game should make at least one sample converge at this size
+    assert out['converged'] >= 1, out['status_counts']
