@@ -55,6 +55,47 @@ def _sample(scenario, num_samples, seed):
     return sample_duel_initial_conditions(scenario, num_samples, seed=seed)
 
 
+def solve_with_retries(solver, retry_solvers, u0, l0, x0, up):
+    """Batched solve with a retry cascade over alternative configurations.
+
+    Games the primary configuration fails (any status but conv_abs) are re-solved by
+    each retry solver in turn — the batched analogue of the reference's practice of
+    sweeping solver configurations over the same samples and reporting the best
+    (``DGSQP_monte_carlo_ablation.py:166-199``); converged retries are merged into the
+    result in place.  Retries run on compacted power-of-two sub-batches, so their cost
+    scales with the failure count, not the original batch.
+    """
+    import jax as _jax
+    res = solver.solve_batch_chunked(u0, l0, x0, up)
+    if not retry_solvers:
+        return res
+    try:
+        dev = list(u0.devices())[0]
+    except Exception:
+        dev = None
+    st = np.array(np.asarray(res.status))
+    out = {f: np.array(np.asarray(getattr(res, f))) for f in res._fields}
+    for rslv in retry_solvers:
+        fail = np.where(st != CONV_ABS)[0]
+        if fail.size == 0:
+            break
+        n_pad = max(16, 1 << (fail.size - 1).bit_length())
+        pad = np.concatenate([fail, np.repeat(fail[:1], n_pad - fail.size)])
+
+        def sub(a):
+            s = jnp.asarray(np.asarray(a)[pad])
+            return _jax.device_put(s, dev) if dev is not None else s
+
+        r2 = rslv.solve_batch_chunked(sub(u0), sub(l0), sub(x0), sub(up))
+        st2 = np.asarray(r2.status)[:fail.size]
+        win = np.where(st2 == CONV_ABS)[0]
+        if win.size:
+            for f in res._fields:
+                out[f][fail[win]] = np.asarray(getattr(r2, f))[:fail.size][win]
+            st[fail[win]] = CONV_ABS
+    return type(res)(**{f: jnp.asarray(v) for f, v in out.items()})
+
+
 def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int = 0,
                  solver_cls=DGSQP, n_devices: Optional[int] = None,
                  solver=None) -> MCResults:

@@ -187,7 +187,8 @@ class DGSQP:
         return q, G, g
 
     def _qp(self, Q, q, G, g):
-        Qh = regularized_convexification(Q, self.params.reg)
+        Qh = regularized_convexification(Q, self.params.reg,
+                                         method=getattr(self.params, 'conv_method', 'eigh'))
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol,
                        max_iters=self.params.qp_max_iters)
         # The reference takes whatever step its QP backend returns — it sets

@@ -95,6 +95,9 @@ class DGSQPParams(ControllerConfig):
     # stops with status 'time_limit' (not converged).  None = unlimited.  In batched
     # lockstep execution this bounds how long pathological stragglers can hold the batch.
     qp_solves_limit: Optional[int] = None
+    # Hessian PSD projection: 'eigh' = exact eigenvalue clipping (reference semantics);
+    # 'ns' = Newton-Schulz matmul-only approximation (MXU-friendly, ~1e-3 accuracy).
+    conv_method: str = 'eigh'
     # Lockstep execution model: 'auto' uses the flattened SQP+watchdog round machine
     # (one evaluate + QP + line search per round, per-game mode state) whenever the
     # watchdog is on and Hessians are exact; 'nested'/'flat' force a model.

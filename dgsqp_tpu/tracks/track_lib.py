@@ -151,22 +151,28 @@ def load_tum_raceline(file_path, track_name, tenth_scale: bool = False,
 
     track = get_track(track_name)
     size_scale = 0.1 if tenth_scale else 1.0
-    mat, s_raw = [], []
+    rows = []
     with open(file_path, 'r') as f:
         for d in _csv.reader(f, delimiter=';'):
             if '#' in d[0]:
                 continue
-            _s, _x, _y, _psi, _k, _v, _a = [float(v) for v in d]
-            x, y = _x * size_scale, _y * size_scale
-            v = _v * size_scale / time_scale
-            psi = _psi + np.pi / 2
-            sey = np.asarray(track.global_to_local(np.array([x, y, psi])))
-            s, ey, epsi = float(sey[0]), float(sey[1]), float(sey[2])
-            if mat and s < mat[-1][7]:
-                s += track.track_length
-            mat.append([x, y, psi, v, 0.0, 0.0, epsi, s, ey])
-            s_raw.append(_s * size_scale)
-    mat = np.array(mat)
+            rows.append([float(v) for v in d])
+    rows = np.asarray(rows)
+    x = rows[:, 1] * size_scale
+    y = rows[:, 2] * size_scale
+    psi = rows[:, 3] + np.pi / 2
+    v = rows[:, 5] * size_scale / time_scale
+    s_raw = list(rows[:, 0] * size_scale)
+    # one batched projection instead of a per-row eager Newton solve
+    sey = np.asarray(track.global_to_local(np.stack([x, y, psi], axis=-1)))
+    s, ey, epsi = sey[:, 0].copy(), sey[:, 1], sey[:, 2]
+    # unwrap the arc coordinate across the start/finish line
+    for k in range(1, len(s)):
+        if s[k] < s[k - 1]:
+            s[k:] += track.track_length
+            break
+    mat = np.stack([x, y, psi, v, np.zeros_like(x), np.zeros_like(x),
+                    epsi, s, ey], axis=-1)
     T = [0.0]
     for k in range(len(s_raw) - 1):
         T.append(T[-1] + (s_raw[k + 1] - s_raw[k]) / mat[k, 3])

@@ -281,3 +281,60 @@ def test_flat_compaction_matches_uncompacted():
     # with 4-round chunks the staggered finishes should actually shrink the batch
     batches = [h['batch'] for h in solver.last_chunk_history]
     assert batches[0] == B
+
+
+def test_retry_cascade_rescues_failures():
+    """solve_with_retries must merge retry-solver successes into the primary result."""
+    from dgsqp_tpu.harness.mc_study import solve_with_retries
+    from dgsqp_tpu.solvers.dgsqp import CONV_ABS, CONV_REL, MAX_IT
+
+    def build(iters):
+        m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+        m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+        joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+        def stage(x, u, um):
+            return 0.5 * u[0] ** 2
+
+        def term_0(x):
+            return 0.5 * 100.0 * (x[0] - 1.0) ** 2 + 0.2 * x[0] * x[1]
+
+        def term_1(x):
+            return 0.5 * 100.0 * (x[1] - 1.0) ** 2 + 0.2 * x[0] * x[1]
+
+        ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 50.0
+        lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -50.0
+        params = DGSQPParams(N=N, dt=DT, reg=1e-3, p_tol=1e-9, d_tol=1e-9,
+                             sqp_iters=iters, nonmono_ls=True, beta=0.01, tau=0.5)
+        return DGSQP(joint, [(stage, term_0), (stage, term_1)], [None, None], None,
+                     {'ub': [ub, ub], 'lb': [lb, lb]}, params, print_method=None)
+
+    weak = build(1)      # one iteration: cannot reach 1e-9 tolerances
+    strong = build(50)
+    rng = np.random.default_rng(7)
+    B = 4
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 2)))
+    u0 = jnp.zeros((B, 2 * N))
+    l0 = jnp.zeros((B, weak.n_c))
+    ups = jnp.zeros((B, 2))
+
+    res_weak = weak.solve_batch_chunked(u0, l0, x0s, ups)
+    assert not np.isin(np.asarray(res_weak.status), (CONV_ABS,)).all()
+    res = solve_with_retries(weak, [strong], u0, l0, x0s, ups)
+    assert np.isin(np.asarray(res.status), (CONV_ABS,)).all(), np.asarray(res.status)
+
+
+def test_newton_schulz_psd_projection():
+    """Matmul-only PSD projection must agree with eigenvalue clipping to its accuracy."""
+    from dgsqp_tpu.utils.math import nearest_pd, nearest_pd_ns
+    rng = np.random.default_rng(0)
+    for n in (10, 40):
+        A = jnp.asarray(rng.normal(size=(n, n)))
+        A = A + 2.0 * jnp.eye(n) - 1.0 * jnp.diag(jnp.arange(n) % 3 == 0)
+        P_ref = nearest_pd(A)
+        P_ns = nearest_pd_ns(A)
+        s_ns = np.linalg.eigvalsh(np.asarray(P_ns))
+        assert s_ns.min() > -1e-6, s_ns.min()
+        scale = np.linalg.norm(np.asarray(P_ref))
+        err = np.linalg.norm(np.asarray(P_ns - P_ref)) / scale
+        assert err < 2e-2, err

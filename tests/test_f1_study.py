@@ -26,6 +26,9 @@ def test_f1_track_segment_and_raceline():
     assert -rw - 0.1 <= ey <= lw + 0.1
 
 
+@pytest.mark.skipif(not __import__('os').environ.get('DGSQP_RUN_SLOW'),
+                    reason='dynamic-bicycle warm-start rollout compiles minutes on CPU; '
+                           'set DGSQP_RUN_SLOW=1 to include')
 def test_f1_sampler_valid_states():
     sc = build_f1_scenario(N=5)
     x0, u_ws, v_ref, ey_ref = sample_f1_initial_conditions(sc, 4, seed=2)
@@ -38,6 +41,9 @@ def test_f1_sampler_valid_states():
     assert (x0[:, 13] >= x0[:, 6]).all()
 
 
+@pytest.mark.skipif(not __import__('os').environ.get('DGSQP_RUN_SLOW'),
+                    reason='dynamic-bicycle Hessian graph compiles ~10 min on CPU; '
+                           'set DGSQP_RUN_SLOW=1 to include')
 def test_f1_study_solves():
     out = run_f1_study(N=5, num_samples=2, seed=0,
                        params=f1_solver_params(5, sqp_iters=60))
