@@ -127,14 +127,20 @@ def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int
         padded, orig = pad_to_multiple(np.asarray(a), n_dev)
         args.append(jax.device_put(jnp.asarray(padded), sharding))
 
-    # chunked execution: short device programs (watchdog-safe), SPMD over the games axis
+    # chunked execution: short device programs (watchdog-safe), SPMD over the games axis.
+    # Solvers without a chunked path (e.g. the MCP baseline) fall back to one whole-solve
+    # program per batch.
+    if hasattr(solver, 'solve_batch_chunked'):
+        batch_solve = lambda: solver.solve_batch_chunked(*args)
+    else:
+        batch_solve = lambda: solver._solve_batch_jit(*args, None)
     t0 = time.time()
-    res = solver.solve_batch_chunked(*args)
+    res = batch_solve()
     jax.block_until_ready(res)
     first = time.time() - t0
 
     t0 = time.time()
-    res = solver.solve_batch_chunked(*args)
+    res = batch_solve()
     jax.block_until_ready(res)
     solve_time = time.time() - t0
 
@@ -143,7 +149,7 @@ def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int
                      num_samples=B,
                      statuses=np.asarray(res.status)[:B],
                      iters=np.asarray(res.iters)[:B],
-                     qp_solves=np.asarray(res.qp_solves)[:B],
+                     qp_solves=np.asarray(getattr(res, 'qp_solves', res.iters))[:B],
                      p_feas=np.asarray(res.p_feas)[:B],
                      comp=np.asarray(res.comp)[:B],
                      stat=np.asarray(res.stat)[:B],
@@ -151,6 +157,58 @@ def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int
                      x0=np.asarray(x0),
                      wall_time_s=solve_time,
                      compile_time_s=first - solve_time)
+
+
+def run_mc_study_algames(scenario, params=None, num_samples: int = 200,
+                         seed: int = 0) -> MCResults:
+    """Batched ALGAMES Monte-Carlo run on the same samples as the DGSQP studies
+    (reference runs both solvers per trial, ``DGSQP_ALGAMES_monte_carlo_chicane.py:479-506``).
+    """
+    from dgsqp_tpu.harness.scenarios import joint_constraints_for_algames
+    from dgsqp_tpu.solvers.algames import ALGAMES
+    from dgsqp_tpu.solvers.solver_types import ALGAMESParams
+
+    if params is None:
+        params = ALGAMESParams(N=scenario.N, dt=scenario.dt, outer_iters=50,
+                               newton_iters=50, line_search_iters=50,
+                               ineq_tol=1e-3, eq_tol=1e-3, opt_tol=1e-3, rho=1.0,
+                               gamma=10.0, beta=0.01, tau=0.5, q_reg=1e-3, u_reg=1e-3)
+    solver = ALGAMES(scenario.joint_model, scenario.costs,
+                     joint_constraints_for_algames(scenario), scenario.bounds,
+                     params, print_method=None)
+    dtype = solver.dtype
+
+    x0, u_ws, _, _ = _sample(scenario, num_samples, seed)
+    x0 = jnp.asarray(x0, dtype)
+    u_ws = jnp.asarray(u_ws, dtype)
+    # state warm start: roll the warm-start inputs through the joint dynamics
+    def rollout(u_seq, x):
+        def step(q, u_k):
+            q_n = scenario.joint_model.fd(q, u_k)
+            return q_n, q_n
+        _, qs = jax.lax.scan(step, x, u_seq)
+        return jnp.concatenate([x[None], qs], axis=0)
+
+    q_ws = jax.jit(jax.vmap(rollout))(u_ws, x0)
+    up = jnp.zeros((num_samples, scenario.joint_model.n_u), dtype)
+
+    t0 = time.time()
+    res = solver._solve_batch_jit(q_ws, u_ws, x0, up)
+    jax.block_until_ready(res)
+    first = time.time() - t0
+    t0 = time.time()
+    res = solver._solve_batch_jit(q_ws, u_ws, x0, up)
+    jax.block_until_ready(res)
+    solve_time = time.time() - t0
+
+    B = num_samples
+    flat_u = np.asarray(res.u).reshape(B, -1)
+    return MCResults(scenario=scenario.name, solver='ALGAMES', num_samples=B,
+                     statuses=np.asarray(res.status), iters=np.asarray(res.iters),
+                     qp_solves=np.asarray(res.newton_solves),
+                     p_feas=np.asarray(res.p_feas), comp=np.asarray(res.comp),
+                     stat=np.asarray(res.stat), u_sol=flat_u, x0=np.asarray(x0),
+                     wall_time_s=solve_time, compile_time_s=first - solve_time)
 
 
 def analyze_results(results: MCResults) -> dict:

@@ -472,3 +472,49 @@ def build_approximate_duel(track=None, N: int = 25, dt: float = 0.1,
                     input_lb=np.array([-u_a_max, -u_steer_max, 0.0]),
                     input_rate_ub=np.array([u_a_rate, u_steer_rate, u_ds_rate]),
                     input_rate_lb=np.array([-u_a_rate, -u_steer_rate, -u_ds_rate]))
+
+
+def joint_constraints_for_algames(scenario):
+    """Concatenate per-agent and shared constraints into the joint stage lists ALGAMES
+    consumes (the reference MC scripts hand-build exactly this combination,
+    ``DGSQP_ALGAMES_monte_carlo_chicane.py:344-352``)."""
+    M = scenario.joint_model.n_a
+    offs = scenario.joint_model.u_offsets
+    N = scenario.N
+    shared = scenario.shared_constraints or [None] * (N + 1)
+
+    def make_stage(k):
+        fns = [(a, scenario.agent_constraints[a][k]) for a in range(M)
+               if scenario.agent_constraints[a] is not None
+               and scenario.agent_constraints[a][k] is not None]
+        sh = shared[k]
+        if not fns and sh is None:
+            return None
+
+        # NB: plain closure, no default-arg capture — extra parameters would make the
+        # arity probe treat this as a P-parameterized callable
+        def stage(x, u, um):
+            parts = [jnp.atleast_1d(fn(x, u[offs[a]:offs[a + 1]],
+                                       um[offs[a]:offs[a + 1]]))
+                     for a, fn in fns]
+            if sh is not None:
+                parts.append(jnp.atleast_1d(sh(x, u, um)))
+            return jnp.concatenate(parts)
+        return stage
+
+    def make_term():
+        fns = [scenario.agent_constraints[a][N] for a in range(M)
+               if scenario.agent_constraints[a] is not None
+               and scenario.agent_constraints[a][N] is not None]
+        sh = shared[N]
+        if not fns and sh is None:
+            return None
+
+        def term(x):
+            parts = [jnp.atleast_1d(fn(x)) for fn in fns]
+            if sh is not None:
+                parts.append(jnp.atleast_1d(sh(x)))
+            return jnp.concatenate(parts)
+        return term
+
+    return [make_stage(k) for k in range(N)] + [make_term()]

@@ -93,33 +93,65 @@ class ALGAMES:
 
     # ------------------------------------------------------------ problem pieces
     def _count_constraints(self):
+        """Count rows AND build the vectorized assembly plan (stage-grouped nonlinear
+        constraint evaluation + scatter destinations), mirroring GameProblem._build_plan —
+        the unrolled per-stage Python loops made the XLA graph (and compile time) scale
+        with the horizon."""
         N = self.N
-        n = 0
         x_z = np.zeros(self.n_q)
         u_z = np.zeros(self.n_u)
+        n_nl = np.zeros(N + 1, dtype=int)
         for k in range(N):
             if self.constraints[k] is not None:
-                n += int(np.asarray(_call_stage(self.constraints[k], x_z, u_z, u_z, None)).size)
-            n += len(self.input_ub_idxs) + len(self.input_lb_idxs)
-            n += len(self.state_ub_idxs) + len(self.state_lb_idxs)
+                n_nl[k] = int(np.asarray(
+                    _call_stage(self.constraints[k], x_z, u_z, u_z, None)).size)
         if self.constraints[N] is not None:
-            n += int(np.asarray(_call_term(self.constraints[N], x_z, None)).size)
-        n += len(self.state_ub_idxs) + len(self.state_lb_idxs)
-        self.n_c = n
+            n_nl[N] = int(np.asarray(_call_term(self.constraints[N], x_z, None)).size)
+
+        n_iub, n_ilb = len(self.input_ub_idxs), len(self.input_lb_idxs)
+        n_sub, n_slb = len(self.state_ub_idxs), len(self.state_lb_idxs)
+        # row offsets per stage in ALGAMES order: [nl, iub, ilb, sub, slb] per k, then
+        # terminal [nl, sub, slb]
+        nl_dest = [None] * (N + 1)
+        iub_dest = np.zeros((N, n_iub), dtype=int)
+        ilb_dest = np.zeros((N, n_ilb), dtype=int)
+        sub_dest = np.zeros((N + 1, n_sub), dtype=int)
+        slb_dest = np.zeros((N + 1, n_slb), dtype=int)
+        off = 0
+        for k in range(N):
+            nl_dest[k] = np.arange(off, off + n_nl[k]); off += n_nl[k]
+            iub_dest[k] = np.arange(off, off + n_iub); off += n_iub
+            ilb_dest[k] = np.arange(off, off + n_ilb); off += n_ilb
+            sub_dest[k] = np.arange(off, off + n_sub); off += n_sub
+            slb_dest[k] = np.arange(off, off + n_slb); off += n_slb
+        nl_dest[N] = np.arange(off, off + n_nl[N]); off += n_nl[N]
+        sub_dest[N] = np.arange(off, off + n_sub); off += n_sub
+        slb_dest[N] = np.arange(off, off + n_slb); off += n_slb
+        self.n_c = int(off)
+
+        from dgsqp_tpu.solvers.game_problem import _group_stages
+        self._nl_groups = [
+            (fn, jnp.asarray(ks), np.stack([nl_dest[k] for k in ks]))
+            for fn, ks in _group_stages(self.constraints[:N])]
+        self._nl_term = (self.constraints[N], nl_dest[N]) if n_nl[N] else None
+        self._iub_dest, self._ilb_dest = iub_dest, ilb_dest
+        self._sub_dest, self._slb_dest = sub_dest, slb_dest
+        self._cost_groups = [
+            [(fn, jnp.asarray(ks)) for fn, ks in _group_stages(self.costs[a][:N])]
+            for a in range(self.M)]
 
     def _costs_all(self, q_all, u_all, u_prev):
         """Per-agent horizon costs.  q_all: (N+1, n_q); u_all: (N, n_u)."""
+        um_mat = jnp.concatenate([u_prev[None], u_all[:-1]], axis=0)
         J = []
         for a in range(self.M):
-            ua = u_all[:, self.u_offsets[a]:self.u_offsets[a + 1]]
-            upa = u_prev[self.u_offsets[a]:self.u_offsets[a + 1]]
+            sl = slice(self.u_offsets[a], self.u_offsets[a + 1])
+            ua, uma = u_all[:, sl], um_mat[:, sl]
             Ja = jnp.asarray(0.0, q_all.dtype)
-            for k in range(self.N):
-                fn = self.costs[a][k]
-                if fn is None:
-                    continue
-                um = upa if k == 0 else ua[k - 1]
-                Ja = Ja + _call_stage(fn, q_all[k], ua[k], um, None)
+            for fn, ks in self._cost_groups[a]:
+                vals = jax.vmap(lambda k: _call_stage(fn, q_all[k], ua[k], uma[k],
+                                                      None))(ks)
+                Ja = Ja + jnp.sum(vals)
             if self.costs[a][self.N] is not None:
                 Ja = Ja + _call_term(self.costs[a][self.N], q_all[self.N], None)
             J.append(Ja)
@@ -128,34 +160,35 @@ class ALGAMES:
     def _dyn_residual(self, q_all, u_all):
         """D_k = q_{k+1} - fd(q_k, u_k), flattened (N*n_q,)
         (reference ALGAMES.py:471-478)."""
-        fd = self.joint_dynamics.fd
-        def step(k):
-            return q_all[k + 1] - fd(q_all[k], u_all[k])
-        return jnp.concatenate([step(k) for k in range(self.N)])
+        pred = jax.vmap(self.joint_dynamics.fd)(q_all[:-1], u_all)
+        return (q_all[1:] - pred).reshape(-1)
 
     def _constraints(self, q_all, u_all, u_prev):
-        """Joint inequality stack in ALGAMES row order (reference ALGAMES.py:484-505)."""
-        out = []
-        for k in range(self.N):
-            if self.constraints[k] is not None:
-                um = u_prev if k == 0 else u_all[k - 1]
-                out.append(jnp.atleast_1d(
-                    _call_stage(self.constraints[k], q_all[k], u_all[k], um, None)))
-            if len(self.input_ub_idxs) > 0:
-                out.append(u_all[k][self.input_ub_idxs] - self.input_ub[self.input_ub_idxs])
-            if len(self.input_lb_idxs) > 0:
-                out.append(self.input_lb[self.input_lb_idxs] - u_all[k][self.input_lb_idxs])
-            if len(self.state_ub_idxs) > 0:
-                out.append(q_all[k][self.state_ub_idxs] - self.state_ub[self.state_ub_idxs])
-            if len(self.state_lb_idxs) > 0:
-                out.append(self.state_lb[self.state_lb_idxs] - q_all[k][self.state_lb_idxs])
-        if self.constraints[self.N] is not None:
-            out.append(jnp.atleast_1d(_call_term(self.constraints[self.N], q_all[self.N], None)))
+        """Joint inequality stack in ALGAMES row order (reference ALGAMES.py:484-505),
+        assembled by vmapped stage groups + scatter."""
+        g = jnp.zeros(self.n_c, dtype=q_all.dtype)
+        um_mat = jnp.concatenate([u_prev[None], u_all[:-1]], axis=0)
+        for fn, ks, dest in self._nl_groups:
+            vals = jax.vmap(lambda k: jnp.atleast_1d(
+                _call_stage(fn, q_all[k], u_all[k], um_mat[k], None)))(ks)
+            g = g.at[jnp.asarray(dest.reshape(-1))].set(vals.reshape(-1))
+        if len(self.input_ub_idxs) > 0:
+            vals = u_all[:, self.input_ub_idxs] - self.input_ub[self.input_ub_idxs]
+            g = g.at[jnp.asarray(self._iub_dest.reshape(-1))].set(vals.reshape(-1))
+        if len(self.input_lb_idxs) > 0:
+            vals = self.input_lb[self.input_lb_idxs] - u_all[:, self.input_lb_idxs]
+            g = g.at[jnp.asarray(self._ilb_dest.reshape(-1))].set(vals.reshape(-1))
         if len(self.state_ub_idxs) > 0:
-            out.append(q_all[self.N][self.state_ub_idxs] - self.state_ub[self.state_ub_idxs])
+            vals = q_all[:, self.state_ub_idxs] - self.state_ub[self.state_ub_idxs]
+            g = g.at[jnp.asarray(self._sub_dest.reshape(-1))].set(vals.reshape(-1))
         if len(self.state_lb_idxs) > 0:
-            out.append(self.state_lb[self.state_lb_idxs] - q_all[self.N][self.state_lb_idxs])
-        return jnp.concatenate(out)
+            vals = self.state_lb[self.state_lb_idxs] - q_all[:, self.state_lb_idxs]
+            g = g.at[jnp.asarray(self._slb_dest.reshape(-1))].set(vals.reshape(-1))
+        if self._nl_term is not None:
+            fn, dest = self._nl_term
+            vals = jnp.atleast_1d(_call_term(fn, q_all[self.N], None))
+            g = g.at[jnp.asarray(dest)].set(vals)
+        return g
 
     # --------------------------------------------------------- stacked gradients
     def _unpack(self, y, x0):

@@ -190,7 +190,8 @@ class DGSQP:
         Qh = regularized_convexification(Q, self.params.reg,
                                          method=getattr(self.params, 'conv_method', 'eigh'))
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol,
-                       max_iters=self.params.qp_max_iters)
+                       max_iters=self.params.qp_max_iters,
+                       polish_iters=getattr(self.params, 'qp_polish_iters', 4))
         # The reference takes whatever step its QP backend returns — it sets
         # error_on_fail=False and never inspects the OSQP return status, so 'qp_fail'
         # only fires on an exception (DGSQP.py:186,244-266).  Match that: reject the

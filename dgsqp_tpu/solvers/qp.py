@@ -83,9 +83,9 @@ def _ruiz_equilibrate(Q, A, iters: int = 3):
     return jnp.clip(d_x, 1e-6, 1e6), jnp.clip(e_r, 1e-6, 1e6)
 
 
-@partial(jax.jit, static_argnames=('max_iters', 'scale'))
+@partial(jax.jit, static_argnames=('max_iters', 'scale', 'polish_iters'))
 def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
-             scale: bool = True) -> QPSolution:
+             scale: bool = True, polish_iters: int = 4) -> QPSolution:
     """Solve one QP instance.  ``vmap`` over leading axes of (Q, q, A, b) for batches.
 
     ``Q`` must be symmetric positive definite (the SQP layer guarantees this via
@@ -122,7 +122,8 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         As = A * e_r[:, None] * d_x[None, :]
         qs = q * d_x
         bs = b * e_r
-        inner = solve_qp(Qs, qs, As, bs, tol, max_iters, scale=False)
+        inner = solve_qp(Qs, qs, As, bs, tol, max_iters, scale=False,
+                         polish_iters=polish_iters)
         x = inner.x * d_x
         lam = inner.lam * e_r
         # re-certify on the ORIGINAL data (the scaled residual is not the true one)
@@ -252,7 +253,7 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
 
     act0 = (st.lam[cand] > st.t[cand]).astype(dtype)
     _, x, lam, res = jax.lax.fori_loop(
-        0, 4, pdas_step, (act0, st.x, st.lam, res0))
+        0, polish_iters, pdas_step, (act0, st.x, st.lam, res0))
 
     scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
     ok = (res < 1e4 * tol * scale) & jnp.isfinite(res)

@@ -95,6 +95,8 @@ class DGSQPParams(ControllerConfig):
     # stops with status 'time_limit' (not converged).  None = unlimited.  In batched
     # lockstep execution this bounds how long pathological stragglers can hold the batch.
     qp_solves_limit: Optional[int] = None
+    # PDAS polish iterations in the QP kernel (each is a QR-factored KKT solve)
+    qp_polish_iters: int = 4
     # Hessian PSD projection: 'eigh' = exact eigenvalue clipping (reference semantics);
     # 'ns' = Newton-Schulz matmul-only approximation (MXU-friendly, ~1e-3 accuracy).
     conv_method: str = 'eigh'

@@ -42,6 +42,9 @@ def main():
     ap.add_argument('--reg_decay', type=float, default=None)
     ap.add_argument('--out', default='results')
     ap.add_argument('--devices', type=int, default=None)
+    ap.add_argument('--skip_existing', action='store_true',
+                    help='resume analog of the reference --start_idx: skip configs whose '
+                         'output pickle already exists')
     args = ap.parse_args()
 
     import jax
@@ -67,6 +70,12 @@ def main():
         scenario = build_merge_scenario(N=min(args.N, 20))
     else:
         scenario = build_agents_scenario(M=args.agents, N=args.N)
+
+    out_name = Path(args.out) / (f'{scenario.name}_{args.solver}_{args.formulation}'
+                                 f'_n{args.n}_s{args.seed}.pkl')
+    if args.skip_existing and out_name.exists():
+        print(f'skip (exists): {out_name}', file=sys.stderr)
+        return
 
     solver = None
     if args.formulation == 'approximate':
@@ -104,14 +113,23 @@ def main():
             params.reg_decay = args.reg_decay
         res = run_mc_study(scenario, solver_params=params, num_samples=args.n,
                            seed=args.seed, solver_cls=DGSQPV2, n_devices=args.devices)
+    elif args.solver == 'algames':
+        from dgsqp_tpu.harness.mc_study import run_mc_study_algames
+        res = run_mc_study_algames(scenario, num_samples=args.n, seed=args.seed)
+    elif args.solver == 'mcp':
+        from dgsqp_tpu.solvers.mcp import PATHMCP
+        from dgsqp_tpu.solvers.solver_types import PATHMCPParams
+        mcp = PATHMCP(scenario.joint_model, scenario.costs, scenario.agent_constraints,
+                      scenario.shared_constraints, scenario.bounds,
+                      PATHMCPParams(N=scenario.N, dt=scenario.dt, tol=args.p_tol),
+                      print_method=None)
+        res = run_mc_study(scenario, num_samples=args.n, seed=args.seed, solver=mcp)
     else:
         print(f'solver {args.solver} batched study not wired yet', file=sys.stderr)
         sys.exit(2)
 
     stats = analyze_results(res)
-    out_dir = Path(args.out)
-    name = f'{scenario.name}_{args.solver}_{args.formulation}_n{args.n}_s{args.seed}'
-    save_results(res, out_dir / f'{name}.pkl')
+    save_results(res, out_name)
     print(json.dumps(stats, indent=2, default=str))
 
 
