@@ -47,54 +47,17 @@ def main():
     accel = jax.devices()[0]
     jax.config.update('jax_default_device', cpu)
 
-    from dgsqp_tpu.harness.scenarios import build_chicane_scenario
-    from dgsqp_tpu.harness.samplers import sample_duel_initial_conditions
-    from dgsqp_tpu.solvers.dgsqp import DGSQP, CONV_ABS, CONV_REL
-    from dgsqp_tpu.solvers.dgsqp_v2 import DGSQPV2
-    from dgsqp_tpu.solvers.solver_types import DGSQPParams, DGSQPV2Params
+    from dgsqp_tpu.harness.bench_setup import build_bench_batch, build_bench_solver
+    from dgsqp_tpu.solvers.dgsqp import CONV_ABS, CONV_REL
 
-    sc = build_chicane_scenario(N=horizon, theta_deg=45.0)
-    qp_tol = 1e-8 if jax.config.jax_enable_x64 else 3e-7
-    if solver_name == 'v2':
-        params = DGSQPV2Params(N=sc.N, dt=sc.dt, reg=1e2, reg_decay=0.95, nms=True,
-                               nms_frequency=5, nms_memory_size=3, sqp_iters=100,
-                               p_tol=1e-3, d_tol=1e-3, merit_decrease=0.01,
-                               merit_decrease_condition='max', qp_tol=qp_tol)
-        solver = DGSQPV2(sc.joint_model, sc.costs, sc.agent_constraints,
-                         sc.shared_constraints, sc.bounds, params, print_method=None)
-    else:
-        # line_search_iters: the reference config uses 50, but trials beyond ~20 have
-        # alpha <= tau^20 ~ 1e-6 whose accepted point is numerically identical to the
-        # line-search-failure return; 20 keeps the decisions while trimming the grid.
-        params = DGSQPParams(N=sc.N, dt=sc.dt, reg=1e-3,
-                             nonmono_ls=os.environ.get('DGSQP_BENCH_NMLS', '1') == '1',
-                             line_search_iters=int(os.environ.get('DGSQP_BENCH_LS', 20)),
-                             sqp_iters=int(os.environ.get('DGSQP_BENCH_SQP_ITERS', 50)),
-                             p_tol=1e-3, d_tol=1e-3,
-                             beta=0.01, tau=0.5, qp_tol=qp_tol,
-                             qp_max_iters=int(os.environ.get('DGSQP_BENCH_QP_ITERS', 25)),
-                             qp_solves_limit=int(os.environ.get('DGSQP_BENCH_QP_BUDGET', 100)),
-                             # ns (Newton-Schulz, MXU matmuls) measured at 1.7x the
-                             # throughput of eigh at equal conv_abs (57.8% vs 57.4%,
-                             # batch 256) and strictly better incl-rel (84.4% vs 70.7%)
-                             conv_method=os.environ.get('DGSQP_BENCH_CONV', 'ns'),
-                             qp_polish_iters=int(os.environ.get('DGSQP_BENCH_POLISH', 4)))
-        solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,
-                       sc.shared_constraints, sc.bounds, params, print_method=None)
+    sc, solver = build_bench_solver(horizon=horizon, solver_name=solver_name)
     dtype = solver.dtype
 
     print(f'# platform={platform} dtype={dtype.__name__} solver={solver_name} '
           f'batch={batch} N={horizon} chunk={chunk}', file=sys.stderr)
 
-    x0, u_ws, _, _ = sample_duel_initial_conditions(sc, batch, seed=0)
-    u0 = jax.vmap(solver.problem.stage_to_u)(jnp.asarray(u_ws, dtype))
-    x0 = jnp.asarray(x0, dtype)
-    up = jnp.zeros((batch, sc.joint_model.n_u), dtype)
-    l0 = jax.jit(jax.vmap(lambda u, x, p: solver.problem.dual_warm_start(u, x, p)))(
-        u0, x0, up)
-
     # explicit accelerator placement for the hot path
-    u0, l0, x0, up = (jax.device_put(a, accel) for a in (u0, l0, x0, up))
+    u0, l0, x0, up = build_bench_batch(sc, solver, batch, seed=0, device=accel)
 
     def run(verbose=False):
         res = solver.solve_batch_chunked(u0, l0, x0, up, chunk_iters=chunk,

@@ -751,6 +751,8 @@ class DGSQP:
         body = self._make_body(x0, up, P)
         return jax.lax.fori_loop(0, chunk_iters, lambda i, cc: body(cc), c)
 
+    _compact_min_bucket = 16
+
     def solve_batch_chunked(self, u0, l0, x0, up, P=None, chunk_iters: int = 8,
                             max_chunks: Optional[int] = None, verbose: bool = False):
         """Batched solve as a host loop over short jitted chunks.
@@ -790,11 +792,11 @@ class DGSQP:
         """Flat-execution batch solve: host loop over round chunks WITH batch compaction.
 
         After each chunk the finished games are harvested to a host-side store and the
-        still-running stragglers continue in a smaller power-of-two batch — the tail of a
-        Monte-Carlo sweep then costs compute proportional to the number of games still
-        solving instead of the original batch size.  Compaction is skipped when the
-        inputs are sharded over multiple devices (SPMD runs keep their static layout).
+        still-running stragglers continue in a smaller power-of-two batch (the generic
+        driver in :mod:`dgsqp_tpu.solvers.chunked`).
         """
+        from dgsqp_tpu.solvers.chunked import run_chunked_compacted
+
         flat_rounds = 4 * chunk_iters
         if not hasattr(self, '_flat_fns'):
             def chunk_rounds(c, x, u_p):
@@ -806,72 +808,53 @@ class DGSQP:
                 jax.jit(jax.vmap(lambda c, x, u_p: self._finalize(c, x, u_p, None))))
         chunk_fn, init_fn, final_fn = self._flat_fns
 
-        def multi_device(a):
-            sh = getattr(a, 'sharding', None)
-            return sh is not None and len(getattr(sh, 'device_set', ())) > 1
-
-        can_compact = not any(multi_device(a) for a in (u0, l0, x0, up))
-        B0 = u0.shape[0]
-        min_bucket = getattr(self, '_compact_min_bucket', 16)
-        # keep compacted batches on the device the inputs live on — jnp.asarray alone
-        # would land them on the DEFAULT device (often pinned to host CPU in harnesses),
-        # silently moving the remaining chunks off the accelerator
-        try:
-            target_dev = list(u0.devices())[0]
-        except Exception:
-            target_dev = None
-
-        def to_dev(a):
-            return jax.device_put(a, target_dev) if target_dev is not None \
-                else jnp.asarray(a)
-
-        x0_h = np.asarray(x0)
-        up_h = np.asarray(up)
-        carry = init_fn(u0, l0)
-        store = jax.tree_util.tree_map(lambda a: np.array(a), carry)  # writable copies
-        idx = np.arange(B0)              # original game index of each live slot
-        valid = np.ones(B0, bool)        # live slot holds a real (non-pad) game
-        x0_c, up_c = jnp.asarray(x0), jnp.asarray(up)
-        history = []
         max_chunks = max_chunks or (10 * self.params.sqp_iters // flat_rounds + 6)
-
-        def harvest(carry):
-            carry_h = jax.tree_util.tree_map(np.asarray, carry)
-            for s_leaf, c_leaf in zip(store, carry_h):
-                s_leaf[idx[valid]] = c_leaf[valid]
-            return carry_h
-
-        for i in range(max_chunks):
-            carry = chunk_fn(carry, x0_c, up_c)
-            status_h = np.asarray(carry.status)
-            running = (status_h == RUNNING) & valid
-            n_run = int(running.sum())
-            history.append(dict(chunk=i, running=n_run, batch=int(valid.size)))
-            if verbose:
-                print(f'chunk {i}: {n_run} games still running '
-                      f'(batch {valid.size})')
-            if n_run == 0:
-                harvest(carry)
-                break
-            bucket = max(min_bucket, 1 << (n_run - 1).bit_length())
-            if can_compact and bucket <= valid.size // 2:
-                carry_h = harvest(carry)
-                sel = np.where(running)[0]
-                pad = np.concatenate([sel, np.repeat(sel[:1], bucket - sel.size)])
-                carry = jax.tree_util.tree_map(
-                    lambda a: to_dev(a[pad]), carry_h)
-                idx = idx[pad]
-                valid = np.zeros(bucket, bool)
-                valid[:sel.size] = True
-                x0_c = to_dev(x0_h[idx])
-                up_c = to_dev(up_h[idx])
-        else:
-            harvest(carry)
-
-        final_carry = jax.tree_util.tree_map(to_dev, _FlatCarry(*store))
-        res = final_fn(final_carry, to_dev(x0_h), to_dev(up_h))
+        carry = init_fn(u0, l0)
+        final_carry, x0_f, up_f, history = run_chunked_compacted(
+            carry, x0, up, chunk_fn, running_status=RUNNING, max_chunks=max_chunks,
+            min_bucket=getattr(self, '_compact_min_bucket', 16), verbose=verbose)
+        res = final_fn(final_carry, x0_f, up_f)
         self.last_chunk_history = history
         return res
+
+    def solve_batch_traced(self, u0, l0, x0, up, P=None, num_iters: Optional[int] = None,
+                           record_iterates: bool = False):
+        """Batched solve with a per-SQP-iteration trace (the reference's ``IterationData``
+        record, ``DGSQP_v2.py:31-52`` / rich ``solve_info``, ``DGSQP_v2.py:633-647``).
+
+        Runs the nested body under ``lax.scan`` for a FIXED ``num_iters`` so every
+        iteration's convergence quantities are captured — the instrumentation for
+        diagnosing non-converged games.  Returns ``(SQPResult, trace)`` where ``trace``
+        is a dict of (B, T)-shaped arrays: ``status, it, p_feas, comp, stat, qp_solves,
+        du_norm, dl_norm`` (+ ``u, l`` of shape (B, T, n) with ``record_iterates``).
+        Frozen games repeat their terminal row, so the trace tail is the terminal state.
+        """
+        T = int(num_iters or self.params.sqp_iters)
+
+        def one(u, l, x, u_p):
+            body = self._make_body(x, u_p, P)
+            init = self._init_carry(u, l, x, u_p, P)
+
+            def step(c, _):
+                c2 = body(c)
+                rec = dict(status=c2.status, it=c2.it, p_feas=c2.p_feas, comp=c2.comp,
+                           stat=c2.stat, qp_solves=c2.qp_solves,
+                           du_norm=jnp.linalg.norm(c2.u - c.u),
+                           dl_norm=jnp.linalg.norm(c2.l - c.l))
+                if record_iterates:
+                    rec['u'] = c2.u
+                    rec['l'] = c2.l
+                return c2, rec
+
+            c, trace = jax.lax.scan(step, init, None, length=T)
+            return self._finalize(c, x, u_p, P), trace
+
+        if not hasattr(self, '_traced_jit'):
+            self._traced_jit = {}
+        key = (T, record_iterates)
+        if key not in self._traced_jit:
+            self._traced_jit[key] = jax.jit(jax.vmap(one))
+        return self._traced_jit[key](u0, l0, x0, up)
 
     # ------------------------------------------------------------- host interface
     def initialize(self):

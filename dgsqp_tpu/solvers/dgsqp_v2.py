@@ -455,7 +455,17 @@ class DGSQPV2:
 
     def solve_batch_chunked(self, u0, l0, x0, up, P=None, chunk_iters: int = 8,
                             max_chunks: Optional[int] = None, verbose: bool = False):
-        """Batched solve as a host loop over short jitted chunks (see dgsqp.py)."""
+        """Batched solve as a host loop over short jitted chunks WITH straggler
+        compaction (the shared driver in :mod:`dgsqp_tpu.solvers.chunked`).
+
+        v2 needs no separate "flat" machine: its NMS body is already a fixed-signature
+        round (one evaluate + one QP + one parallel-grid line search per iteration —
+        the d/m-step decisions are masked selects, not nested loops), so chunked
+        lockstep execution plus compaction gives it the same batch-efficiency v1 gets
+        from the flattened watchdog.
+        """
+        from dgsqp_tpu.solvers.chunked import run_chunked_compacted
+
         if not hasattr(self, '_chunk_jit'):
             self._chunk_jit = jax.jit(jax.vmap(
                 lambda c, x, u_p: self._chunk(c, x, u_p, None, chunk_iters)))
@@ -464,20 +474,13 @@ class DGSQPV2:
             self._final_jit = jax.jit(jax.vmap(
                 lambda c, x, u_p: self._finalize(c, x, u_p, None)))
         carry = self._init_jit(u0, l0, x0, up)
-        history = []
         # v2 budgets count m-steps; allow ~6x in raw iterations before giving up
         max_chunks = max_chunks or (6 * self.params.sqp_iters // chunk_iters + 4)
-        for i in range(max_chunks):
-            carry = self._chunk_jit(carry, x0, up)
-            n_run = int(jnp.sum(carry.status == RUNNING))
-            history.append(dict(chunk=i, running=n_run,
-                                iters_p50=float(jnp.median(carry.it)),
-                                stat_p50=float(jnp.median(carry.stat))))
-            if verbose:
-                print(f'chunk {i}: {n_run} games still running')
-            if n_run == 0:
-                break
-        res = self._final_jit(carry, x0, up)
+        final_carry, x0_f, up_f, history = run_chunked_compacted(
+            carry, x0, up, self._chunk_jit, running_status=RUNNING,
+            max_chunks=max_chunks,
+            min_bucket=getattr(self, '_compact_min_bucket', 16), verbose=verbose)
+        res = self._final_jit(final_carry, x0_f, up_f)
         self.last_chunk_history = history
         return res
 

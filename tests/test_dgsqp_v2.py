@@ -70,6 +70,35 @@ def test_v2_matches_v1():
     np.testing.assert_allclose(v2_info['u_sol'], v1_info['u_sol'], atol=1e-5)
 
 
+def test_v2_chunked_compacted_matches_whole():
+    """solve_batch_chunked (host compaction driver) reproduces the single-program
+    while-loop batch solve — statuses and solutions identical per game."""
+    import jax
+
+    joint, costs, shared_list, bounds = _game()
+    params = DGSQPV2Params(N=N, dt=DT, reg=1e1, nms=True, sqp_iters=200,
+                           p_tol=1e-7, d_tol=1e-7)
+    solver = DGSQPV2(joint, costs, [None, None], shared_list, bounds, params,
+                     print_method=None)
+    B = 24  # non-power-of-two to exercise bucket padding
+    rng = np.random.default_rng(3)
+    dtype = solver.dtype
+    u0 = jnp.asarray(rng.normal(0, 0.1, (B, solver.n_dec)), dtype)
+    x0 = jnp.asarray(rng.normal(0, 0.3, (B, solver.n_q)), dtype)
+    up = jnp.zeros((B, solver.n_u), dtype)
+    l0 = jax.jit(jax.vmap(lambda u, x, p: solver.problem.dual_warm_start(u, x, p)))(
+        u0, x0, up)
+
+    res_whole = solver._solve_batch_jit(u0, l0, x0, up, None)
+    solver._compact_min_bucket = 4
+    res_chunk = solver.solve_batch_chunked(u0, l0, x0, up, chunk_iters=8)
+
+    np.testing.assert_array_equal(np.asarray(res_whole.status),
+                                  np.asarray(res_chunk.status))
+    np.testing.assert_allclose(np.asarray(res_whole.u), np.asarray(res_chunk.u),
+                               rtol=0, atol=1e-12)
+
+
 def test_v2_non_nms_mode():
     joint, costs, shared_list, bounds = _game()
     solver = DGSQPV2(joint, costs, [None, None], shared_list, bounds,
