@@ -9,6 +9,8 @@ bounds, solver parameters) as jnp callables over the joint state:
       (``/root/reference/scripts/DGSQP_merge_monte_carlo.py:40-384``)
   * agents           — M-agent scaling study on a curved track
       (``/root/reference/scripts/DGSQP_monte_carlo_agents.py:98-205``)
+  * dynamic duel     — 2-agent DYNAMIC-bicycle (Pacejka) exact game on L_track_barc
+      (``/root/reference/scripts/comparison_study_barc/exact_dynamic_game_dynamic.py:13-204``)
 """
 from __future__ import annotations
 
@@ -18,7 +20,8 @@ from typing import List, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from dgsqp_tpu.dynamics import (KinematicBicycleConfig, KinematicBicycleCombined,
+from dgsqp_tpu.dynamics import (DynamicBicycleConfig, DynamicBicycleCombined,
+                                KinematicBicycleConfig, KinematicBicycleCombined,
                                 MultiAgentDynamicsModel, MultiAgentModelConfig,
                                 UnicycleConfig, KinematicUnicycle)
 from dgsqp_tpu.tracks import ChicaneTrack, CurveTrack
@@ -173,6 +176,90 @@ def build_chicane_scenario(N: int = 25, theta_deg: float = 45.0, dt: float = 0.1
                          width=half_width * 2, slack=0.8, mirror=False)
     return build_racing_duel(track, N=N, dt=dt, half_width=half_width,
                              name=f'chicane_t{int(theta_deg)}_N{N}', **kw)
+
+
+def build_dynamic_duel(N: int = 25, dt: float = 0.1, cost_setting: int = 0,
+                       track_name: str = 'L_track_barc',
+                       car_r: float = 0.23) -> Scenario:
+    """Two DYNAMIC-bicycle (Pacejka) agents in the journal's exact game on L_track_barc.
+
+    Mirrors ``comparison_study_barc/exact_dynamic_game_dynamic.py:13-204`` with
+    ``globals.py`` constants (dt=0.1, rk4/M=10, car radii 0.23): quadratic input +
+    input-rate stage costs, LINEAR terminal progress/competition cost
+    ``-c0*s_own + c1*(s_other - s_own)``, NO per-agent constraints (the reference builds
+    rate constraints but passes None), shared collision avoidance for stages 1..N and the
+    terminal stage.  Bounds: |u_a|<=2.1, |u_steer|<=0.436, |x_tran|<=half-width.
+    """
+    from dgsqp_tpu.tracks.track_lib import get_track
+    track = get_track(track_name)
+    H = float(track.half_width)
+
+    if cost_setting == 0:
+        input_weight = (1.0, 1.0)
+        input_rate_weight = (1.0, 1.0)
+        comp_weights = (1.0, 5.0)
+    elif cost_setting == 1:
+        input_weight = (1e-1, 1e-1)
+        input_rate_weight = (1e-1, 1e-1)
+        comp_weights = (0.0, 1.0)
+    else:
+        raise ValueError(f'unknown cost_setting {cost_setting}')
+
+    cfg = DynamicBicycleConfig(dt=dt, model_name='dynamic_bicycle', noise=False,
+                               discretization_method='rk4', M=10, simple_slip=False,
+                               tire_model='pacejka', mass=2.2187, yaw_inertia=0.02723,
+                               wheel_friction=0.9, pacejka_b_front=5.0, pacejka_b_rear=5.0,
+                               pacejka_c_front=2.28, pacejka_c_rear=2.28)
+    car1 = DynamicBicycleCombined(0.0, cfg, track=track)
+    car2 = DynamicBicycleCombined(0.0, DynamicBicycleConfig(**{**cfg.__dict__}), track=track)
+    joint = MultiAgentDynamicsModel(0.0, [car1, car2], MultiAgentModelConfig(dt=dt))
+
+    # joint-state indices (8 states per car: x y vx vy psidot epsi s xtran)
+    C1_X, C1_Y, C1_S = 0, 1, 6
+    C2_X, C2_Y, C2_S = 8, 9, 14
+    obs_d = 2 * car_r
+
+    def make_costs(own_s, other_s):
+        w_in, w_rt = input_weight, input_rate_weight
+
+        def stage(x, u, um):
+            return 0.5 * (w_in[0] * u[0] ** 2 + w_in[1] * u[1] ** 2) \
+                + 0.5 * (w_rt[0] * (u[0] - um[0]) ** 2 + w_rt[1] * (u[1] - um[1]) ** 2)
+
+        def term(x):
+            return -comp_weights[0] * x[own_s] + comp_weights[1] * (x[other_s] - x[own_s])
+
+        return (stage, term)
+
+    costs = [make_costs(C1_S, C2_S), make_costs(C2_S, C1_S)]
+
+    def obs_avoid(x, u, um):
+        dx = x[C1_X] - x[C2_X]
+        dy = x[C1_Y] - x[C2_Y]
+        return jnp.array([obs_d ** 2 - (dx * dx + dy * dy)])
+
+    def obs_avoid_term(x):
+        dx = x[C1_X] - x[C2_X]
+        dy = x[C1_Y] - x[C2_Y]
+        return jnp.array([obs_d ** 2 - (dx * dx + dy * dy)])
+
+    shared_constraints = [None] + [obs_avoid] * (N - 1) + [obs_avoid_term]
+    agent_constraints = [[None] * (N + 1), [None] * (N + 1)]
+
+    u_a_max, u_steer_max = 2.1, 0.436
+    ub = _vehicle_bound(H, u_a_max, u_steer_max)
+    lb = _neg(ub)
+    bounds = {'ub': [ub, ub.copy()], 'lb': [lb, lb.copy()]}
+
+    return Scenario(name=f'dynamic_duel_N{N}_c{cost_setting}', track=track,
+                    joint_model=joint, costs=costs,
+                    agent_constraints=agent_constraints,
+                    shared_constraints=shared_constraints,
+                    bounds=bounds, N=N, dt=dt, obs_d=obs_d, half_width=H,
+                    input_ub=np.array([u_a_max, u_steer_max]),
+                    input_lb=np.array([-u_a_max, -u_steer_max]),
+                    input_rate_ub=np.array([10.0, 4.5]),
+                    input_rate_lb=np.array([-10.0, -4.5]))
 
 
 def build_curve_scenario(N: int = 25, theta_deg: float = 90.0, dt: float = 0.1,

@@ -22,7 +22,10 @@ from pathlib import Path
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--scenario', default='chicane',
-                    choices=['chicane', 'curve', 'merge', 'agents'])
+                    choices=['chicane', 'curve', 'merge', 'agents', 'dynamic'])
+    ap.add_argument('--cost_setting', type=int, default=0,
+                    help='dynamic study cost setting (reference '
+                         'exact_dynamic_game_dynamic.py:103-118)')
     ap.add_argument('--formulation', default='exact', choices=['exact', 'approximate'])
     ap.add_argument('--solver', default='dgsqp',
                     choices=['dgsqp', 'dgsqp_v2', 'algames', 'mcp'])
@@ -60,7 +63,10 @@ def main():
     from dgsqp_tpu.solvers.dgsqp_v2_frenet import DGSQPV2FrenetApprox
     from dgsqp_tpu.solvers.solver_types import DGSQPParams, DGSQPV2Params
 
-    if args.formulation == 'approximate':
+    if args.scenario == 'dynamic':
+        from dgsqp_tpu.harness.scenarios import build_dynamic_duel
+        scenario = build_dynamic_duel(N=args.N, cost_setting=args.cost_setting)
+    elif args.formulation == 'approximate':
         scenario = build_approximate_duel(N=args.N)
     elif args.scenario == 'chicane':
         scenario = build_chicane_scenario(N=args.N, theta_deg=args.theta)
