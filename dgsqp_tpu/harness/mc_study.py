@@ -196,11 +196,11 @@ def run_mc_study_algames(scenario, params=None, num_samples: int = 200,
     up = jnp.zeros((num_samples, scenario.joint_model.n_u), dtype)
 
     t0 = time.time()
-    res = solver._solve_batch_jit(q_ws, u_ws, x0, up)
+    res = solver.solve_batch_chunked(q_ws, u_ws, x0, up)
     jax.block_until_ready(res)
     first = time.time() - t0
     t0 = time.time()
-    res = solver._solve_batch_jit(q_ws, u_ws, x0, up)
+    res = solver.solve_batch_chunked(q_ws, u_ws, x0, up)
     jax.block_until_ready(res)
     solve_time = time.time() - t0
 

@@ -46,6 +46,20 @@ class ALGAMESResult(NamedTuple):
     stat: jnp.ndarray
 
 
+class _OuterCarry(NamedTuple):
+    """Per-game state of the outer AL loop (chunkable unit)."""
+    y: jnp.ndarray
+    lam: jnp.ndarray
+    rho_val: jnp.ndarray
+    i: jnp.ndarray
+    status: jnp.ndarray
+    rel_its: jnp.ndarray
+    newton_total: jnp.ndarray
+    p_feas: jnp.ndarray
+    comp: jnp.ndarray
+    stat: jnp.ndarray
+
+
 class ALGAMES:
     def __init__(self, joint_dynamics, costs, constraints, bounds,
                  params: ALGAMESParams = None, xy_plot=None, print_method=print,
@@ -291,15 +305,33 @@ class ALGAMES:
         return H + jnp.diag(reg)
 
     # ----------------------------------------------------------------- core loop
-    def _solve_core(self, q_ws, u_ws, x0, u_prev) -> ALGAMESResult:
+    def _init_outer_carry(self, q_ws, u_ws) -> '_OuterCarry':
+        p = self.params
+        dtype = self.dtype
+        y0 = jnp.concatenate([jnp.asarray(q_ws, dtype)[1:].reshape(-1),
+                              jnp.asarray(u_ws, dtype).reshape(-1),
+                              jnp.zeros(self.M * self.N * self.n_q, dtype)])
+        return _OuterCarry(y=y0, lam=jnp.zeros(self.n_c, dtype),
+                           rho_val=jnp.asarray(p.rho, dtype), i=jnp.asarray(0),
+                           status=jnp.asarray(RUNNING, jnp.int32), rel_its=jnp.asarray(0),
+                           newton_total=jnp.asarray(0),
+                           p_feas=jnp.asarray(jnp.inf, dtype),
+                           comp=jnp.asarray(jnp.inf, dtype),
+                           stat=jnp.asarray(jnp.inf, dtype))
+
+    def _finalize_outer(self, c: '_OuterCarry', x0) -> ALGAMESResult:
+        q_all, u, m = self._unpack(c.y, x0)
+        return ALGAMESResult(q_all, u, c.lam, m, c.status, c.i, c.newton_total,
+                             c.p_feas, c.comp, c.stat)
+
+    def _make_outer_body(self, x0, u_prev):
+        """One outer AL iteration (inner Newton loop + dual ascent) as a masked,
+        fixed-signature body — the chunkable unit (reference ``ALGAMES.py:205-412``)."""
         p = self.params
         dtype = self.dtype
         N, n_q, n_u = self.N, self.n_q, self.n_u
         n_y = N * (n_q + n_u) + self.M * N * n_q
         rel_tol_req = 5
-
-        y0 = jnp.concatenate([q_ws[1:].reshape(-1), u_ws.reshape(-1),
-                              jnp.zeros(self.M * N * n_q, dtype)])
 
         def opt_vio_fn(y, lam, rho):
             grads = self._agent_grad_blocks(
@@ -361,25 +393,10 @@ class ALGAMES:
                              jnp.asarray(1.0, dtype), jnp.asarray(jnp.inf, dtype)))
             return y_f, j_f
 
-        class OC(NamedTuple):
-            y: jnp.ndarray
-            lam: jnp.ndarray
-            rho_val: jnp.ndarray
-            i: jnp.ndarray
-            status: jnp.ndarray
-            rel_its: jnp.ndarray
-            newton_total: jnp.ndarray
-            p_feas: jnp.ndarray
-            comp: jnp.ndarray
-            stat: jnp.ndarray
-
         q_reg_c = p.q_reg
         u_reg_c = p.u_reg
 
-        def outer_cond(c: OC):
-            return c.status == RUNNING
-
-        def outer_body(c: OC) -> OC:
+        def outer_body(c: _OuterCarry) -> _OuterCarry:
             running = c.status == RUNNING
 
             y_prev = c.y
@@ -421,27 +438,59 @@ class ALGAMES:
             status = jnp.where(running, new_status, c.status).astype(jnp.int32)
             keep = running & ~converged & ~diverged & ~conv_rel
 
-            return OC(y=jnp.where(running, y_new, c.y),
-                      lam=jnp.where(keep, lam_new, c.lam),
-                      rho_val=jnp.where(keep, rho_new, c.rho_val),
-                      i=i_next, status=status,
-                      rel_its=jnp.where(running, rel_its, c.rel_its),
-                      newton_total=c.newton_total + jnp.where(running, n_newton, 0),
-                      p_feas=jnp.where(running, jnp.maximum(max_ineq, max_eq), c.p_feas),
-                      comp=jnp.where(running, comp, c.comp),
-                      stat=jnp.where(running, opt_vio, c.stat))
+            return _OuterCarry(y=jnp.where(running, y_new, c.y),
+                               lam=jnp.where(keep, lam_new, c.lam),
+                               rho_val=jnp.where(keep, rho_new, c.rho_val),
+                               i=i_next, status=status,
+                               rel_its=jnp.where(running, rel_its, c.rel_its),
+                               newton_total=c.newton_total + jnp.where(running, n_newton, 0),
+                               p_feas=jnp.where(running, jnp.maximum(max_ineq, max_eq),
+                                                c.p_feas),
+                               comp=jnp.where(running, comp, c.comp),
+                               stat=jnp.where(running, opt_vio, c.stat))
 
-        init = OC(y=y0, lam=jnp.zeros(self.n_c, dtype),
-                  rho_val=jnp.asarray(p.rho, dtype), i=jnp.asarray(0),
-                  status=jnp.asarray(RUNNING, jnp.int32), rel_its=jnp.asarray(0),
-                  newton_total=jnp.asarray(0),
-                  p_feas=jnp.asarray(jnp.inf, dtype), comp=jnp.asarray(jnp.inf, dtype),
-                  stat=jnp.asarray(jnp.inf, dtype))
-        c = jax.lax.while_loop(outer_cond, outer_body, init)
+        return outer_body
 
-        q_all, u, m = self._unpack(c.y, x0)
-        return ALGAMESResult(q_all, u, c.lam, m, c.status, c.i, c.newton_total,
-                             c.p_feas, c.comp, c.stat)
+    def _solve_core(self, q_ws, u_ws, x0, u_prev) -> ALGAMESResult:
+        body = self._make_outer_body(x0, u_prev)
+        init = self._init_outer_carry(q_ws, u_ws)
+        c = jax.lax.while_loop(lambda cc: cc.status == RUNNING, body, init)
+        return self._finalize_outer(c, x0)
+
+    def solve_batch_chunked(self, q_ws, u_ws, x0, u_prev, chunk_iters: int = 1,
+                            max_chunks=None, verbose: bool = False):
+        """Batched solve as a host loop over short device programs WITH straggler
+        compaction (shared driver, see :mod:`dgsqp_tpu.solvers.chunked`).
+
+        One chunk = ``chunk_iters`` outer AL iterations (each containing its inner
+        Newton while-loop).  The whole-solve single program (50 outer x 50 Newton
+        iterations of dense KKT solves) is long enough to trip accelerator watchdogs;
+        chunking bounds the program length the same way the DGSQP solvers do.
+        """
+        from dgsqp_tpu.solvers.chunked import run_chunked_compacted
+
+        if not hasattr(self, '_chunk_fns'):
+            def chunk(c, x, u_p):
+                body = self._make_outer_body(x, u_p)
+                return jax.lax.fori_loop(0, chunk_iters, lambda i, cc: body(cc), c)
+            self._chunk_fns = (
+                jax.jit(jax.vmap(chunk)),
+                jax.jit(jax.vmap(self._init_outer_carry)),
+                jax.jit(jax.vmap(self._finalize_outer)))
+        chunk_fn, init_fn, final_fn = self._chunk_fns
+
+        carry = init_fn(q_ws, u_ws)
+        max_chunks = max_chunks or (self.params.outer_iters // chunk_iters + 2)
+
+        def chunk_with_args(c, x, u_p):
+            return chunk_fn(c, x, u_p)
+
+        final_carry, x0_f, _, history = run_chunked_compacted(
+            carry, x0, u_prev, chunk_with_args, running_status=RUNNING,
+            max_chunks=max_chunks, verbose=verbose)
+        res = final_fn(final_carry, x0_f)
+        self.last_chunk_history = history
+        return res
 
     # ------------------------------------------------------------- host interface
     def initialize(self):

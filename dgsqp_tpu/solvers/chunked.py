@@ -38,11 +38,12 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
     x0_full, up_full, history)`` where ``final_carry`` is re-assembled in the ORIGINAL
     batch order on the input device.
     """
+    first_leaf = jax.tree_util.tree_leaves(carry)[0]
     if can_compact is None:
-        can_compact = not any(_multi_device(a) for a in (carry.u, x0, up))
+        can_compact = not any(_multi_device(a) for a in (first_leaf, x0, up))
     B0 = np.asarray(getattr(carry, status_field)).shape[0]
     try:
-        target_dev = list(carry.u.devices())[0]
+        target_dev = list(first_leaf.devices())[0]
     except Exception:
         target_dev = None
 
