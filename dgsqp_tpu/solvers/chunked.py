@@ -41,6 +41,22 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
     first_leaf = jax.tree_util.tree_leaves(carry)[0]
     if can_compact is None:
         can_compact = not any(_multi_device(a) for a in (first_leaf, x0, up))
+
+    # Multi-host (jax.distributed) arrays are not fully addressable from any one
+    # process: no host-side harvest/compaction is possible, so run the plain chunk
+    # loop with a device-side (replicated) running count and return the sharded carry.
+    if not getattr(first_leaf, 'is_fully_addressable', True):
+        history = []
+        for i in range(max_chunks):
+            carry = chunk_fn(carry, x0, up)
+            n_run = int(jnp.sum(getattr(carry, status_field) == running_status))
+            history.append(dict(chunk=i, running=n_run, batch=-1))
+            if verbose:
+                print_method(f'chunk {i}: {n_run} games still running (multi-host)')
+            if n_run == 0:
+                break
+        return carry, x0, up, history
+
     B0 = np.asarray(getattr(carry, status_field)).shape[0]
     try:
         target_dev = list(first_leaf.devices())[0]

