@@ -115,8 +115,165 @@ class CA_LTV_MPC:
         self.state_input_prediction = None
         self.t = 0.0
 
+        self._build_plan()
         self._qp_step_jit = jax.jit(self._qp_step)
         self.initialized = True
+
+    def _build_plan(self):
+        """Precompute the static QP structure (numpy, once): identity parts of the
+        equality matrix, the full box/slack inequality block, scatter index maps for the
+        stage-dependent pieces, and per-callable stage groups for vmapped evaluation.
+
+        Kills the per-stage Python assembly loops (same treatment GameProblem/ALGAMES
+        got): tracing cost is O(#distinct callables), compile time flat in N, and the
+        trajectory-dependent values land in the static templates via single scatters.
+        """
+        from dgsqp_tpu.solvers.game_problem import _group_stages
+
+        N, n_q, n_u, n_z = self.N, self.n_q, self.n_u, self.n_z
+        n_dec = n_z * (N + 1) + n_u * N
+        self.n_dec = n_dec
+
+        soft_state = list(self.soft_state_idxs or [])
+        n_ss = len(soft_state)
+        n_slack_state = 2 * n_ss * (N + 1)
+        soft_c = list(self.params.soft_constraint_idxs or [])
+        n_sc = len(soft_c)
+        n_slack_c = n_sc * (N + 1)
+        n_ext = n_dec + n_slack_state + n_slack_c
+        self.n_ext = n_ext
+
+        # ------- static cost base: global diag reg + slack penalty diagonals
+        H0 = np.zeros((n_ext, n_ext))
+        H0[:n_dec, :n_dec] += 1e-10 * np.eye(n_dec)
+        h0 = np.zeros(n_ext)
+        for k in range(N + 1):
+            for jj in range(n_ss):
+                for side in range(2):
+                    si = n_dec + 2 * (k * n_ss + jj) + side
+                    H0[si, si] += self.soft_state_quad[jj]
+                    h0[si] += self.soft_state_lin[jj]
+            for jj in range(n_sc):
+                si = n_dec + n_slack_state + k * n_sc + jj
+                H0[si, si] += self.params.soft_constraint_quad[jj]
+                h0[si] += self.params.soft_constraint_lin[jj]
+        self._H0 = H0
+        self._h0 = h0
+
+        # ------- cost stage groups + scatter grids
+        def block_grids(i0s, nb):
+            i0s = np.asarray(i0s)
+            zeros = np.zeros((1, nb, nb), int)
+            r = i0s[:, None, None] + np.arange(nb)[None, :, None] + zeros
+            c = i0s[:, None, None] + np.arange(nb)[None, None, :] + zeros
+            h_idx = i0s[:, None] + np.arange(nb)[None, :]
+            return r.ravel(), c.ravel(), h_idx.ravel()
+
+        self._cost_groups = []
+        for kind, nb, off_fn in (
+                ('state', n_q, lambda ks: ks * n_z),
+                ('input', n_u, lambda ks: ks * n_z + n_q),
+                ('rate', n_u, lambda ks: n_z * (N + 1) + ks * n_u)):
+            fns = self.costs.get(kind, [None] * (N + 1))
+            for fn, ks in _group_stages(fns):
+                r, c, hi = block_grids(off_fn(ks), nb)
+                self._cost_groups.append((kind, fn, jnp.asarray(ks), nb,
+                                          jnp.asarray(r), jnp.asarray(c),
+                                          jnp.asarray(hi)))
+
+        # ------- static equality template + A/B scatter grids
+        n_eq = n_z + N * n_q + N * n_u
+        E0 = np.zeros((n_eq, n_ext))
+        E0[:n_z, :n_z] = np.eye(n_z)
+        ks = np.arange(N)
+        for k in range(N):
+            r0 = n_z + k * n_q
+            E0[r0:r0 + n_q, (k + 1) * n_z:(k + 1) * n_z + n_q] = np.eye(n_q)
+            r1 = n_z + N * n_q + k * n_u
+            E0[r1:r1 + n_u, (k + 1) * n_z + n_q:(k + 2) * n_z] = np.eye(n_u)
+            E0[r1:r1 + n_u, k * n_z + n_q:(k + 1) * n_z] = -np.eye(n_u)
+            E0[r1:r1 + n_u, n_z * (N + 1) + k * n_u:n_z * (N + 1) + (k + 1) * n_u] = \
+                -np.eye(n_u)
+        self._E0 = E0
+        rA = (n_z + ks[:, None, None] * n_q + np.arange(n_q)[None, :, None]
+              + np.zeros((1, 1, n_q), int))
+        cA = ks[:, None, None] * n_z + np.arange(n_q)[None, None, :] \
+            + np.zeros((1, n_q, 1), int)
+        rB = (n_z + ks[:, None, None] * n_q + np.arange(n_q)[None, :, None]
+              + np.zeros((1, 1, n_u), int))
+        cB = (ks[:, None, None] + 1) * n_z + n_q + np.arange(n_u)[None, None, :] \
+            + np.zeros((1, n_q, 1), int)
+        self._rA, self._cA = jnp.asarray(rA.ravel()), jnp.asarray(cA.ravel())
+        self._rB, self._cB = jnp.asarray(rB.ravel()), jnp.asarray(cB.ravel())
+
+        # ------- static inequality block: boxes, slack non-negativity, du bounds
+        A_rows, b_rows = [], []
+        finite_ub = np.isfinite(np.concatenate([self.state_ub, self.input_ub]))
+        finite_lb = np.isfinite(np.concatenate([self.state_lb, self.input_lb]))
+        qu_ub = np.concatenate([self.state_ub, self.input_ub])
+        qu_lb = np.concatenate([self.state_lb, self.input_lb])
+        for k in range(N + 1):
+            i0 = k * n_z
+            for j in np.where(finite_ub)[0]:
+                row = np.zeros(n_ext)
+                row[i0 + j] = 1.0
+                if j in soft_state:
+                    row[n_dec + 2 * (k * n_ss + soft_state.index(j))] = -1.0
+                A_rows.append(row)
+                b_rows.append(qu_ub[j])
+            for j in np.where(finite_lb)[0]:
+                row = np.zeros(n_ext)
+                row[i0 + j] = -1.0
+                if j in soft_state:
+                    row[n_dec + 2 * (k * n_ss + soft_state.index(j)) + 1] = -1.0
+                A_rows.append(row)
+                b_rows.append(-qu_lb[j])
+        for si in range(n_dec, n_ext):
+            row = np.zeros(n_ext)
+            row[si] = -1.0
+            A_rows.append(row)
+            b_rows.append(0.0)
+        for k in range(N):
+            i0 = n_z * (N + 1) + k * n_u
+            for j in np.where(np.isfinite(self.du_ub))[0]:
+                row = np.zeros(n_ext)
+                row[i0 + j] = 1.0
+                A_rows.append(row)
+                b_rows.append(self.du_ub[j])
+            for j in np.where(np.isfinite(self.du_lb))[0]:
+                row = np.zeros(n_ext)
+                row[i0 + j] = -1.0
+                A_rows.append(row)
+                b_rows.append(-self.du_lb[j])
+        self._A_box = np.stack(A_rows) if A_rows else np.zeros((0, n_ext))
+        self._b_box = np.asarray(b_rows)
+
+        # ------- nonlinear constraint groups: static template w/ soft coeffs + grids
+        cs = self.constraints.get('state_input', [None] * (N + 1))
+        n_nl = int(sum(self.n_c))
+        row_off = np.concatenate([[0], np.cumsum(self.n_c)]).astype(int)
+        A_nl0 = np.zeros((n_nl, n_ext))
+        for k in range(N + 1):
+            for jj, c_idx in enumerate(soft_c):
+                if cs[k] is not None and c_idx < self.n_c[k]:
+                    A_nl0[row_off[k] + c_idx,
+                          n_dec + n_slack_state + k * n_sc + jj] = -1.0
+        self._A_nl0 = A_nl0
+        self._n_nl = n_nl
+        self._nl_groups = []
+        for fn, ks in _group_stages(cs):
+            m = self.n_c[int(ks[0])]
+            rows = np.stack([row_off[k] + np.arange(m) for k in ks])      # (G, m)
+            rq = np.repeat(rows[:, :, None], n_q, axis=2)
+            cq = (ks[:, None, None] * n_z + np.arange(n_q)[None, None, :]
+                  + np.zeros((1, m, 1), int))
+            ru = np.repeat(rows[:, :, None], n_u, axis=2)
+            cu = (ks[:, None, None] * n_z + n_q + np.arange(n_u)[None, None, :]
+                  + np.zeros((1, m, 1), int))
+            self._nl_groups.append((fn, jnp.asarray(ks), m,
+                                    jnp.asarray(rows.ravel()),
+                                    jnp.asarray(rq.ravel()), jnp.asarray(cq.ravel()),
+                                    jnp.asarray(ru.ravel()), jnp.asarray(cu.ravel())))
 
     def initialize(self):
         pass
@@ -142,175 +299,72 @@ class CA_LTV_MPC:
     def _qp_step(self, D, q0, u_prev, P=None):
         """Linearize/quadratize at D's trajectory and solve one QP (one damped iteration).
 
+        All stage structure was precomputed by :meth:`_build_plan`; this traces one
+        vmapped evaluation per distinct callable and a handful of scatters.
         Returns (D_bar, ok).
         """
         N, n_q, n_u, n_z = self.N, self.n_q, self.n_u, self.n_z
+        n_dec, n_ext = self.n_dec, self.n_ext
         dtype = self.dtype
         qu = D[:n_z * (N + 1)].reshape(N + 1, n_z)
         du = D[n_z * (N + 1):].reshape(N, n_u)
         q_ref = qu[:, :n_q]
         u_ref = qu[:, n_q:]          # u_ref[k] = u_{k-1}
 
-        n_dec = n_z * (N + 1) + n_u * N
-
-        # ---------------- quadratic cost  1/2 z'Hz + h'z
-        H = jnp.zeros((n_dec, n_dec), dtype)
-        h = jnp.zeros(n_dec, dtype)
+        # ---------------- quadratic cost  1/2 z'Hz + h'z (stage groups + scatter)
+        H = jnp.asarray(self._H0, dtype)
+        h = jnp.asarray(self._h0, dtype)
         reg = 1e-9
+        x_refs = {'state': q_ref, 'input': u_ref,
+                  'rate': jnp.concatenate([du, jnp.zeros((1, n_u), dtype)])}
 
-        def quad(fn, x_ref, Pp, k=None):
-            val_fn = lambda xx: _call1(fn, xx, Pp, k)
-            M = jax.hessian(val_fn)(x_ref)
-            m = jax.grad(val_fn)(x_ref)
-            return M, m - M @ x_ref
+        for kind, fn, ks, nb, r_idx, c_idx, h_idx in self._cost_groups:
+            refs = x_refs[kind][ks]
 
-        for k in range(N + 1):
-            i0 = k * n_z
-            if self.costs['state'][k] is not None:
-                M, m = quad(self.costs['state'][k], q_ref[k], P, k)
-                H = H.at[i0:i0 + n_q, i0:i0 + n_q].add(M + reg * jnp.eye(n_q, dtype=dtype))
-                h = h.at[i0:i0 + n_q].add(m)
-            if self.costs['input'][k] is not None:
-                M, m = quad(self.costs['input'][k], u_ref[k], P, k)
-                H = H.at[i0 + n_q:i0 + n_z, i0 + n_q:i0 + n_z].add(
-                    M + reg * jnp.eye(n_u, dtype=dtype))
-                h = h.at[i0 + n_q:i0 + n_z].add(m)
-        rate_costs = self.costs.get('rate', [None] * N)
-        for k in range(N):
-            i0 = n_z * (N + 1) + k * n_u
-            if rate_costs[k] is not None:
-                M, m = quad(rate_costs[k], du[k], P, k)
-                H = H.at[i0:i0 + n_u, i0:i0 + n_u].add(M + reg * jnp.eye(n_u, dtype=dtype))
-                h = h.at[i0:i0 + n_u].add(m)
-        H = H + 1e-10 * jnp.eye(n_dec, dtype=dtype)
+            def quad(x_ref, k):
+                val_fn = lambda xx: _call1(fn, xx, P, k)
+                M = jax.hessian(val_fn)(x_ref) + reg * jnp.eye(nb, dtype=dtype)
+                m = jax.grad(val_fn)(x_ref)
+                return M, m - M @ x_ref
 
-        # ---------------- equality constraints E z = d
-        # initial condition rows: q_0 = q0, u_{-1} = u_prev
-        E_rows, d_rows = [], []
-        Ei = jnp.zeros((n_z, n_dec), dtype).at[:, :n_z].set(jnp.eye(n_z, dtype=dtype))
-        E_rows.append(Ei)
-        d_rows.append(jnp.concatenate([q0, u_prev]))
+            Ms, ms = jax.vmap(quad)(refs, ks)
+            H = H.at[r_idx, c_idx].add(Ms.reshape(-1))
+            h = h.at[h_idx].add(ms.reshape(-1))
 
-        # dynamics rows: q_{k+1} = A_k q_k + B_k u_k + g_k,  u_k = u-part of qu_{k+1}
-        for k in range(N):
-            A = self.dynamics.fAd(q_ref[k], u_ref[k + 1])
-            B = self.dynamics.fBd(q_ref[k], u_ref[k + 1])
-            g = self.dynamics.fd(q_ref[k], u_ref[k + 1]) - A @ q_ref[k] - B @ u_ref[k + 1]
-            row = jnp.zeros((n_q, n_dec), dtype)
-            row = row.at[:, (k + 1) * n_z:(k + 1) * n_z + n_q].set(jnp.eye(n_q, dtype=dtype))
-            row = row.at[:, k * n_z:k * n_z + n_q].add(-A)
-            row = row.at[:, (k + 1) * n_z + n_q:(k + 2) * n_z].add(-B)
-            E_rows.append(row)
-            d_rows.append(g)
+        # ---------------- equality constraints E z = d (template + A/B scatter)
+        A_all = jax.vmap(self.dynamics.fAd)(q_ref[:-1], u_ref[1:])
+        B_all = jax.vmap(self.dynamics.fBd)(q_ref[:-1], u_ref[1:])
+        fd_all = jax.vmap(self.dynamics.fd)(q_ref[:-1], u_ref[1:])
+        g_all = fd_all - jnp.einsum('kij,kj->ki', A_all, q_ref[:-1]) \
+            - jnp.einsum('kij,kj->ki', B_all, u_ref[1:])
+        E = jnp.asarray(self._E0, dtype)
+        E = E.at[self._rA, self._cA].set(-A_all.reshape(-1))
+        E = E.at[self._rB, self._cB].set(-B_all.reshape(-1))
+        d = jnp.concatenate([q0, u_prev, g_all.reshape(-1),
+                             jnp.zeros(N * n_u, dtype)])
 
-        # rate coupling rows: u_k - u_{k-1} - du_k = 0
-        for k in range(N):
-            row = jnp.zeros((n_u, n_dec), dtype)
-            row = row.at[:, (k + 1) * n_z + n_q:(k + 2) * n_z].set(jnp.eye(n_u, dtype=dtype))
-            row = row.at[:, k * n_z + n_q:(k + 1) * n_z].add(-jnp.eye(n_u, dtype=dtype))
-            row = row.at[:, n_z * (N + 1) + k * n_u:n_z * (N + 1) + (k + 1) * n_u].add(
-                -jnp.eye(n_u, dtype=dtype))
-            E_rows.append(row)
-            d_rows.append(jnp.zeros(n_u, dtype))
+        # ---------------- inequalities: static box/slack/du block + linearized
+        # nonlinear rows (soft coefficients live in the static template)
+        A_nl = jnp.asarray(self._A_nl0, dtype)
+        b_nl = jnp.zeros(self._n_nl, dtype)
+        for fn, ks, m, rows, rq, cq, ru, cu in self._nl_groups:
+            qs, us = q_ref[ks], u_ref[ks]   # stage k uses (q_k, u_{k-1})
 
-        E = jnp.concatenate(E_rows, axis=0)
-        d = jnp.concatenate(d_rows)
+            def lin(qk, uk, k):
+                val = jnp.atleast_1d(_call2(fn, qk, uk, P, k))
+                Jq = jax.jacfwd(lambda qq: jnp.atleast_1d(_call2(fn, qq, uk, P, k)))(qk)
+                Ju = jax.jacfwd(lambda uu: jnp.atleast_1d(_call2(fn, qk, uu, P, k)))(uk)
+                return val, Jq, Ju
 
-        # ---------------- slack variables for soft constraints
-        # layout: z_ext = [z; s_state (2 * n_soft * (N+1)); s_constr]
-        soft_state = list(self.soft_state_idxs or [])
-        n_ss = len(soft_state)
-        n_slack_state = 2 * n_ss * (N + 1)
-        soft_c = list(self.params.soft_constraint_idxs or [])
-        n_sc = len(soft_c)
-        n_slack_c = n_sc * (N + 1)
-        n_ext = n_dec + n_slack_state + n_slack_c
-        if n_ext > n_dec:
-            H = jnp.zeros((n_ext, n_ext), dtype).at[:n_dec, :n_dec].set(H)
-            h = jnp.zeros(n_ext, dtype).at[:n_dec].set(h)
-            E = jnp.zeros((E.shape[0], n_ext), dtype).at[:, :n_dec].set(E)
-            # quadratic + linear penalties (reference CA_LTV_MPC.py:446-533)
-            for k in range(N + 1):
-                for jj, j in enumerate(soft_state):
-                    for side in range(2):
-                        si = n_dec + 2 * (k * n_ss + jj) + side
-                        H = H.at[si, si].add(self.soft_state_quad[jj])
-                        h = h.at[si].add(self.soft_state_lin[jj])
-                for jj in range(n_sc):
-                    si = n_dec + n_slack_state + k * n_sc + jj
-                    H = H.at[si, si].add(self.params.soft_constraint_quad[jj])
-                    h = h.at[si].add(self.params.soft_constraint_lin[jj])
+            vals, Jqs, Jus = jax.vmap(lin)(qs, us, ks)
+            A_nl = A_nl.at[rq, cq].set(Jqs.reshape(-1))
+            A_nl = A_nl.at[ru, cu].set(Jus.reshape(-1))
+            rhs = (jnp.einsum('kmj,kj->km', Jqs, qs)
+                   + jnp.einsum('kmj,kj->km', Jus, us) - vals)
+            b_nl = b_nl.at[rows].set(rhs.reshape(-1))
 
-        def ext(row):
-            if n_ext > n_dec and row.shape[-1] == n_dec:
-                if row.ndim == 1:
-                    return jnp.zeros(n_ext, dtype).at[:n_dec].set(row)
-                return jnp.zeros((row.shape[0], n_ext), dtype).at[:, :n_dec].set(row)
-            return row
-
-        # ---------------- inequality constraints A z <= b
-        A_rows, b_rows = [], []
-        qu_ub = jnp.asarray(np.concatenate([self.state_ub, self.input_ub]), dtype)
-        qu_lb = jnp.asarray(np.concatenate([self.state_lb, self.input_lb]), dtype)
-        finite_ub = np.isfinite(np.concatenate([self.state_ub, self.input_ub]))
-        finite_lb = np.isfinite(np.concatenate([self.state_lb, self.input_lb]))
-        for k in range(N + 1):
-            i0 = k * n_z
-            for j in np.where(finite_ub)[0]:
-                row = jnp.zeros(n_ext, dtype).at[i0 + j].set(1.0)
-                if j in soft_state:
-                    jj = soft_state.index(j)
-                    row = row.at[n_dec + 2 * (k * n_ss + jj)].set(-1.0)
-                A_rows.append(row)
-                b_rows.append(qu_ub[j])
-            for j in np.where(finite_lb)[0]:
-                row = jnp.zeros(n_ext, dtype).at[i0 + j].set(-1.0)
-                if j in soft_state:
-                    jj = soft_state.index(j)
-                    row = row.at[n_dec + 2 * (k * n_ss + jj) + 1].set(-1.0)
-                A_rows.append(row)
-                b_rows.append(-qu_lb[j])
-        # slack non-negativity
-        for si in range(n_dec, n_ext):
-            A_rows.append(jnp.zeros(n_ext, dtype).at[si].set(-1.0))
-            b_rows.append(jnp.asarray(0.0, dtype))
-        finite_du_ub = np.isfinite(self.du_ub)
-        finite_du_lb = np.isfinite(self.du_lb)
-        for k in range(N):
-            i0 = n_z * (N + 1) + k * n_u
-            for j in np.where(finite_du_ub)[0]:
-                A_rows.append(jnp.zeros(n_ext, dtype).at[i0 + j].set(1.0))
-                b_rows.append(jnp.asarray(self.du_ub[j], dtype))
-            for j in np.where(finite_du_lb)[0]:
-                A_rows.append(jnp.zeros(n_ext, dtype).at[i0 + j].set(-1.0))
-                b_rows.append(jnp.asarray(-self.du_lb[j], dtype))
-
-        # linearized nonlinear constraints C(q_k, u_k) <= 0
-        cs = self.constraints.get('state_input', [None] * (N + 1))
-        for k in range(N + 1):
-            if cs[k] is None:
-                continue
-            u_k = u_ref[k]  # constraint at stage k uses (q_k, u_{k-1}) like the cost rows
-            fn = cs[k]
-            val = jnp.atleast_1d(_call2(fn, q_ref[k], u_k, P, k))
-            Jq = jax.jacfwd(lambda qq: jnp.atleast_1d(_call2(fn, qq, u_k, P, k)))(q_ref[k])
-            Ju = jax.jacfwd(lambda uu: jnp.atleast_1d(_call2(fn, q_ref[k], uu, P, k)))(u_k)
-            i0 = k * n_z
-            row = jnp.zeros((val.shape[0], n_ext), dtype)
-            row = row.at[:, i0:i0 + n_q].set(Jq)
-            row = row.at[:, i0 + n_q:i0 + n_z].set(Ju)
-            # softened rows get a -1 slack coefficient (reference CA_LTV_MPC.py:594-634)
-            for jj, c_idx in enumerate(soft_c):
-                if c_idx < val.shape[0]:
-                    si = n_dec + n_slack_state + k * n_sc + jj
-                    row = row.at[c_idx, si].set(-1.0)
-            A_rows.append(row)
-            b_rows.append(Jq @ q_ref[k] + Ju @ u_k - val)
-
-        A_in = jnp.concatenate([jnp.atleast_2d(r) for r in A_rows], axis=0)
-        b_in = jnp.stack([jnp.asarray(b, dtype) for b in b_rows]) \
-            if all(jnp.ndim(b) == 0 for b in b_rows) else \
-            jnp.concatenate([jnp.atleast_1d(b) for b in b_rows])
+        A_in = jnp.concatenate([jnp.asarray(self._A_box, dtype), A_nl], axis=0)
+        b_in = jnp.concatenate([jnp.asarray(self._b_box, dtype), b_nl])
 
         sol = solve_eq_qp(H, h, A_in, b_in, E, d,
                           tol=1e-8 if dtype == jnp.float64 else 1e-6)
