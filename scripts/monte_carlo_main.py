@@ -77,8 +77,13 @@ def main():
     else:
         scenario = build_agents_scenario(M=args.agents, N=args.N)
 
+    reg_tag = ''
+    if args.reg_init is not None or args.reg_decay is not None:
+        reg_tag = f'_reg{args.reg_init if args.reg_init is not None else "d"}' \
+                  f'_decay{args.reg_decay if args.reg_decay is not None else "d"}' \
+                  f'_{args.eval_type}'
     out_name = Path(args.out) / (f'{scenario.name}_{args.solver}_{args.formulation}'
-                                 f'_n{args.n}_s{args.seed}.pkl')
+                                 f'{reg_tag}_n{args.n}_s{args.seed}.pkl')
     if args.skip_existing and out_name.exists():
         print(f'skip (exists): {out_name}', file=sys.stderr)
         return
