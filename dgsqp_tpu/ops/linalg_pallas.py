@@ -33,35 +33,56 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _chol_kernel_body(a_ref, nb: int, n_pad: int):
-    """In-place blocked right-looking Cholesky on an (n_pad, n_pad, LANES) ref."""
+    """In-place blocked right-looking Cholesky on an (n_pad, n_pad, LANES) ref.
+
+    Every block is pulled into registers ONCE, fully updated there, and written back
+    ONCE — the rank-8 panel/trailing updates are value-space loops, not repeated
+    read-modify-writes through the VMEM ref (which Mosaic materializes as full block
+    loads/stores per pass).
+    """
     for kb in range(nb):
         k0 = kb * _BLK
-        rem = n_pad - k0 - _BLK
-        # --- factor the 8x8 diagonal block (scalar algorithm on 128-wide vectors)
+        # --- factor the 8x8 diagonal block (scalar algorithm on 128-wide vectors);
+        # everything is 8-row 2D/3D tiles so the register footprint stays bounded
+        # (whole-panel values at n~100 would need >1000 vregs and crash Mosaic)
+        lcols = []
         for j in range(_BLK):
-            inv = jax.lax.rsqrt(a_ref[k0 + j, k0 + j, :])
-            a_ref[k0 + j, k0 + j, :] = a_ref[k0 + j, k0 + j, :] * inv
-            if j < _BLK - 1:
-                col = a_ref[k0 + j + 1:k0 + _BLK, k0 + j, :] * inv[None, :]
-                a_ref[k0 + j + 1:k0 + _BLK, k0 + j, :] = col
-                a_ref[k0 + j + 1:k0 + _BLK, k0 + j + 1:k0 + _BLK, :] = (
-                    a_ref[k0 + j + 1:k0 + _BLK, k0 + j + 1:k0 + _BLK, :]
-                    - col[:, None, :] * col[None, :, :])
-        if rem == 0:
-            continue
-        # --- panel solve: P <- P L11^{-T}, column by column (forward substitution)
-        for j in range(_BLK):
-            acc = a_ref[k0 + _BLK:, k0 + j, :]
+            col = a_ref[k0:k0 + _BLK, k0 + j, :]
             for r in range(j):
-                acc = acc - a_ref[k0 + _BLK:, k0 + r, :] * a_ref[k0 + j, k0 + r, :][None, :]
-            inv = pl.reciprocal(a_ref[k0 + j, k0 + j, :], approx=False)
-            a_ref[k0 + _BLK:, k0 + j, :] = acc * inv[None, :]
-        # --- trailing update: A22 <- A22 - P P^T (rank-8, batched elementwise)
-        for r in range(_BLK):
-            colr = a_ref[k0 + _BLK:, k0 + r, :]
-            a_ref[k0 + _BLK:, k0 + _BLK:, :] = (
-                a_ref[k0 + _BLK:, k0 + _BLK:, :]
-                - colr[:, None, :] * colr[None, :, :])
+                col = col - lcols[r] * lcols[r][j:j + 1, :]
+            inv = jax.lax.rsqrt(col[j:j + 1, :])
+            # zero above the diagonal, scale at/below it
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (_BLK, 1), 0) >= j)
+            col = jnp.where(mask, col * inv, 0.0)
+            lcols.append(col)
+            a_ref[k0:k0 + _BLK, k0 + j, :] = col
+        # --- panel solve in 8-row strips: each strip loads its 8 columns, substitutes,
+        # and stores back (value footprint: 8 x (8, LANES))
+        for tb in range(kb + 1, nb):
+            t0 = tb * _BLK
+            scols = []
+            for j in range(_BLK):
+                acc = a_ref[t0:t0 + _BLK, k0 + j, :]
+                for r in range(j):
+                    acc = acc - scols[r] * lcols[r][j:j + 1, :]
+                inv = pl.reciprocal(lcols[j][j:j + 1, :], approx=False)
+                scols.append(acc * inv)
+                a_ref[t0:t0 + _BLK, k0 + j, :] = scols[j]
+        # --- trailing update: per 8x8 block (lower triangle only),
+        # A[t, c] -= sum_r P[t, r] P[c, r]
+        for tb in range(kb + 1, nb):
+            t0 = tb * _BLK
+            ptcols = [a_ref[t0:t0 + _BLK, k0 + r, :] for r in range(_BLK)]
+            for cb in range(kb + 1, tb + 1):
+                c0 = cb * _BLK
+                blk = a_ref[t0:t0 + _BLK, c0:c0 + _BLK, :]
+                if cb == tb:
+                    pccols = ptcols
+                else:
+                    pccols = [a_ref[c0:c0 + _BLK, k0 + r, :] for r in range(_BLK)]
+                for r in range(_BLK):
+                    blk = blk - ptcols[r][:, None, :] * pccols[r][None, :, :]
+                a_ref[t0:t0 + _BLK, c0:c0 + _BLK, :] = blk
 
 
 def _make_chol_call(n_pad: int, dtype):
@@ -125,35 +146,44 @@ def _tri_solve_kernel_body(l_ref, x_ref, nb: int, n_pad: int, lower: bool):
     """In-place substitution on x_ref (n_pad, k, LANES) with l_ref (n_pad, n_pad, LANES).
 
     lower=True solves L y = b (forward); lower=False solves L' x = y (backward,
-    reading the lower-triangular factor transposed).
+    reading the lower-triangular factor transposed).  The RHS lives entirely in
+    registers as per-block values; each L block is loaded exactly once.
     """
+    # register-resident RHS: one (_BLK, k, LANES) value per 8-row block; L is read as 2D
+    # column slices (static slicing only — no gathers on 3D values)
+    xb = [x_ref[i * _BLK:(i + 1) * _BLK, :, :] for i in range(nb)]
     blocks = range(nb) if lower else range(nb - 1, -1, -1)
     for kb in blocks:
         k0 = kb * _BLK
-        # solve the 8x8 diagonal block
+        lcols = [l_ref[k0:k0 + _BLK, k0 + r, :] for r in range(_BLK)]  # (_BLK, LANES)
+        rows = [xb[kb][j:j + 1, :, :] for j in range(_BLK)]            # (1, k, LANES)
+        # NOTE: slice+newaxis on 2D values miscompiles in Mosaic (gather shape
+        # mismatch); reshape after slicing instead.
+        el = lambda v2d, i: jnp.reshape(v2d[i:i + 1, :], (1, 1, _LANES))
         js = range(_BLK) if lower else range(_BLK - 1, -1, -1)
         for j in js:
-            acc = x_ref[k0 + j, :, :]
+            acc = rows[j]
             if lower:
                 for r in range(j):
-                    acc = acc - l_ref[k0 + j, k0 + r, :][None, :] * x_ref[k0 + r, :, :]
+                    acc = acc - el(lcols[r], j) * rows[r]
             else:
                 for r in range(j + 1, _BLK):
-                    acc = acc - l_ref[k0 + r, k0 + j, :][None, :] * x_ref[k0 + r, :, :]
-            inv = pl.reciprocal(l_ref[k0 + j, k0 + j, :], approx=False)
-            x_ref[k0 + j, :, :] = acc * inv[None, :]
-        # propagate into the remaining rows
-        if lower and k0 + _BLK < n_pad:
+                    acc = acc - el(lcols[j], r) * rows[r]
+            inv = pl.reciprocal(el(lcols[j], j), approx=False)
+            rows[j] = acc * inv
+        xb[kb] = jnp.concatenate(rows, axis=0)
+        # propagate into the not-yet-solved blocks (one L column slice per (r, block))
+        targets = range(kb + 1, nb) if lower else range(kb)
+        for tb in targets:
+            t0 = tb * _BLK
+            acc = xb[tb]
             for r in range(_BLK):
-                x_ref[k0 + _BLK:, :, :] = (
-                    x_ref[k0 + _BLK:, :, :]
-                    - l_ref[k0 + _BLK:, k0 + r, :][:, None, :] * x_ref[k0 + r, :, :][None, :, :])
-        if (not lower) and k0 > 0:
-            for r in range(_BLK):
-                x_ref[:k0, :, :] = (
-                    x_ref[:k0, :, :]
-                    - l_ref[k0 + r, :k0, :][:, None, :]
-                    * x_ref[k0 + r, :, :][None, :, :])
+                lc = (l_ref[t0:t0 + _BLK, k0 + r, :] if lower
+                      else l_ref[k0 + r, t0:t0 + _BLK, :])             # (_BLK, LANES)
+                acc = acc - lc[:, None, :] * rows[r]
+            xb[tb] = acc
+    for i in range(nb):
+        x_ref[i * _BLK:(i + 1) * _BLK, :, :] = xb[i]
 
 
 def _make_cho_solve_call(n_pad: int, k: int, dtype):
@@ -226,3 +256,43 @@ def use_pallas() -> bool:
         return jax.default_backend() not in ('cpu',)
     except Exception:
         return False
+
+
+# ----------------------------------------------------------------- custom_vmap wrappers
+# Per-instance linear algebra that callers write ONCE and vmap: single instances use
+# stock XLA; under vmap on TPU the whole batch is dispatched to the lanes-batched
+# kernels (measured 20-30x on cholesky, 3x on cho_solve vs XLA's batched ops at
+# [256..1024, 100, 100] f32).
+
+@jax.custom_batching.custom_vmap
+def cholesky(A):
+    """Lower Cholesky of one SPD matrix; batch-dispatches to :func:`chol_batch`."""
+    return jnp.linalg.cholesky(A)
+
+
+@cholesky.def_vmap
+def _cholesky_vmap(axis_size, in_batched, A):
+    (a_b,) = in_batched
+    if a_b and use_pallas() and A.ndim == 3:
+        return chol_batch(A), True
+    return jnp.linalg.cholesky(A), a_b
+
+
+@jax.custom_batching.custom_vmap
+def cho_solve(L, b):
+    """Solve (L L') x = b for one instance; batch-dispatches to :func:`cho_solve_batch`."""
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
+@cho_solve.def_vmap
+def _cho_solve_vmap(axis_size, in_batched, L, b):
+    l_b, b_b = in_batched
+    if l_b and b_b and use_pallas() and L.ndim == 3 and b.ndim in (2, 3):
+        return cho_solve_batch(L, b), True
+    if not l_b:
+        L = jnp.broadcast_to(L, (axis_size,) + L.shape)
+    if not b_b:
+        b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    if use_pallas() and L.ndim == 3 and b.ndim in (2, 3):
+        return cho_solve_batch(L, b), True
+    return jax.scipy.linalg.cho_solve((L, True), b), True
