@@ -57,7 +57,7 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
                 break
         return carry, x0, up, history
 
-    B0 = np.asarray(getattr(carry, status_field)).shape[0]
+    B0 = int(getattr(carry, status_field).shape[0])
     try:
         target_dev = list(first_leaf.devices())[0]
     except Exception:
@@ -67,44 +67,56 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         return jax.device_put(a, target_dev) if target_dev is not None \
             else jnp.asarray(a)
 
-    x0_h = np.asarray(x0)
-    up_h = np.asarray(up)
-    store = jax.tree_util.tree_map(lambda a: np.array(a), carry)  # writable copies
-    idx = np.arange(B0)              # original game index of each live slot
-    valid = np.ones(B0, bool)        # live slot holds a real (non-pad) game
-    x0_c, up_c = jnp.asarray(x0), jnp.asarray(up)
+    # Everything bulky stays ON DEVICE: the store is scatter-updated there, compaction is
+    # a device-side gather, and the host only ever reads the per-game STATUS bytes (under
+    # the axon tunnel every host<->device copy is a network hop — harvesting full carries
+    # through numpy dominated the solve wall-clock before this).
+    store = carry
+    x0_all, up_all = jnp.asarray(x0), jnp.asarray(up)
+    x0_c, up_c = x0_all, up_all
+    idx_h = np.arange(B0)            # original game index of each live slot (host)
+    valid_h = np.ones(B0, bool)      # live slot holds a real (non-pad) game (host)
     history = []
 
+    @jax.jit
+    def scatter_into(store, carry, scatter_idx):
+        # invalid slots carry index B0 -> dropped by out-of-bounds scatter semantics
+        return jax.tree_util.tree_map(
+            lambda s, c: s.at[scatter_idx].set(c, mode='drop'), store, carry)
+
+    @jax.jit
+    def gather(tree, pad_idx):
+        return jax.tree_util.tree_map(lambda a: a[pad_idx], tree)
+
     def harvest(carry):
-        carry_h = jax.tree_util.tree_map(np.asarray, carry)
-        for s_leaf, c_leaf in zip(store, carry_h):
-            s_leaf[idx[valid]] = c_leaf[valid]
-        return carry_h
+        scatter_idx = to_dev(jnp.asarray(np.where(valid_h, idx_h, B0), jnp.int32))
+        return scatter_into(store, carry, scatter_idx)
 
     for i in range(max_chunks):
         carry = chunk_fn(carry, x0_c, up_c)
-        status_h = np.asarray(getattr(carry, status_field))
-        running = (status_h == running_status) & valid
+        status_h = np.asarray(getattr(carry, status_field))   # tiny transfer
+        running = (status_h == running_status) & valid_h
         n_run = int(running.sum())
-        history.append(dict(chunk=i, running=n_run, batch=int(valid.size)))
+        history.append(dict(chunk=i, running=n_run, batch=int(valid_h.size)))
         if verbose:
-            print_method(f'chunk {i}: {n_run} games still running (batch {valid.size})')
+            print_method(f'chunk {i}: {n_run} games still running (batch {valid_h.size})')
         if n_run == 0:
-            harvest(carry)
+            store = harvest(carry)
             break
         bucket = max(min_bucket, 1 << (n_run - 1).bit_length())
-        if can_compact and bucket <= valid.size // 2:
-            carry_h = harvest(carry)
+        if can_compact and bucket <= valid_h.size // 2:
+            store = harvest(carry)
             sel = np.where(running)[0]
             pad = np.concatenate([sel, np.repeat(sel[:1], bucket - sel.size)])
-            carry = jax.tree_util.tree_map(lambda a: to_dev(a[pad]), carry_h)
-            idx = idx[pad]
-            valid = np.zeros(bucket, bool)
-            valid[:sel.size] = True
-            x0_c = to_dev(x0_h[idx])
-            up_c = to_dev(up_h[idx])
+            pad_dev = to_dev(jnp.asarray(pad, jnp.int32))
+            carry = gather(carry, pad_dev)
+            idx_h = idx_h[pad]
+            valid_h = np.zeros(bucket, bool)
+            valid_h[:sel.size] = True
+            idx_dev = to_dev(jnp.asarray(idx_h, jnp.int32))
+            x0_c = x0_all[idx_dev]
+            up_c = up_all[idx_dev]
     else:
-        harvest(carry)
+        store = harvest(carry)
 
-    final_carry = jax.tree_util.tree_map(to_dev, type(carry)(*store))
-    return final_carry, to_dev(x0_h), to_dev(up_h), history
+    return store, x0_all, up_all, history

@@ -31,18 +31,12 @@ def main():
     jax.config.update('jax_default_device', cpu)
 
     from dgsqp_tpu.harness.samplers import sample_duel_initial_conditions
-    from dgsqp_tpu.harness.scenarios import build_chicane_scenario
-    from dgsqp_tpu.solvers.dgsqp import DGSQP
+    from dgsqp_tpu.harness.bench_setup import build_bench_solver
     from dgsqp_tpu.solvers.qp import solve_qp
-    from dgsqp_tpu.solvers.solver_types import DGSQPParams
     from dgsqp_tpu.utils.math import regularized_convexification
 
-    sc = build_chicane_scenario(N=N, theta_deg=45.0)
-    params = DGSQPParams(N=N, dt=sc.dt, reg=1e-3, nonmono_ls=True,
-                         line_search_iters=20, sqp_iters=50, p_tol=1e-3, d_tol=1e-3,
-                         beta=0.01, tau=0.5, qp_tol=3e-7, qp_max_iters=25)
-    solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints, sc.shared_constraints,
-                   sc.bounds, params, print_method=None)
+    # the exact bench configuration (same env knobs), so profiles explain bench numbers
+    sc, solver = build_bench_solver(horizon=N)
     dtype = solver.dtype
 
     def timed_loop(name, fn, args, B):

@@ -46,6 +46,7 @@ def test_warm_start_no_collision(scenario, samples):
     assert np.abs(np.asarray(u_ws[0])[:, [1, 3]]).max() <= scenario.input_ub[1] + 1e-9
 
 
+@pytest.mark.slow
 def test_chicane_solve_converges(scenario, samples):
     x0, u_ws, v_ref, lat_ref = samples
     params = DGSQPParams(N=scenario.N, dt=scenario.dt, reg=1e-3, nonmono_ls=False,

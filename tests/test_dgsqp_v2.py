@@ -1,4 +1,5 @@
 """DGSQP v2 (NMS) tests: convergence + agreement with v1 on the integrator game."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ def test_v2_matches_v1():
     np.testing.assert_allclose(v2_info['u_sol'], v1_info['u_sol'], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_v2_chunked_compacted_matches_whole():
     """solve_batch_chunked (host compaction driver) reproduces the single-program
     while-loop batch solve — statuses and solutions identical per game."""

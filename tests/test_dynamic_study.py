@@ -25,6 +25,7 @@ def test_dynamic_sampler_and_warm_start():
     assert not np.any(np.asarray(col))
 
 
+@pytest.mark.slow
 def test_dynamic_duel_derivatives_finite():
     """GameProblem condensed derivatives through the Pacejka dynamics are finite."""
     from dgsqp_tpu.solvers.dgsqp import DGSQP

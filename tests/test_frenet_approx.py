@@ -1,4 +1,5 @@
 """Approximate-game (frenet-approx) solver test: PA duel converges and stays on track."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -9,6 +10,7 @@ from dgsqp_tpu.solvers.solver_types import DGSQPV2Params
 N = 5
 
 
+@pytest.mark.slow
 def test_frenet_approx_converges():
     sc = build_approximate_duel(N=N)
     params = DGSQPV2Params(N=N, dt=sc.dt, reg=1e1, reg_decay=0.95, nms=True,

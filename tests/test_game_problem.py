@@ -110,6 +110,7 @@ def test_G_matches_fd(problem):
     np.testing.assert_allclose(np.asarray(G), G_fd, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_Q_matches_fd_of_stationarity(problem):
     x0 = jnp.array([1.0, 2.0])
     up = jnp.array([0.05, -0.05])

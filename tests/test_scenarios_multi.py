@@ -10,6 +10,7 @@ from dgsqp_tpu.solvers.dgsqp import DGSQP, CONV_ABS, CONV_REL
 from dgsqp_tpu.solvers.solver_types import DGSQPParams
 
 
+@pytest.mark.slow
 def test_merge_scenario_solves():
     sc = build_merge_scenario(N=6)
     x0, u_ws, _, _ = sample_merge_initial_conditions(sc, 2, seed=1)
@@ -33,6 +34,7 @@ def test_merge_scenario_solves():
     assert n_conv >= 1
 
 
+@pytest.mark.slow
 def test_agents_scenario_three_players():
     sc = build_agents_scenario(M=3, N=5, theta_deg=90.0)
     assert sc.joint_model.n_q == 18 and sc.joint_model.n_u == 6
