@@ -31,7 +31,11 @@ def main():
     # TPU MXU matmuls default to bfloat16 inputs; the SQP's Jacobians/Hessians/KKT solves
     # need full f32 accumulation or the merit machinery sees ~1e-2 noise.
     jax.config.update('jax_default_matmul_precision', 'highest')
-    cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR')
+    # default to the repo-local persistent compile cache: the flat-machine chunk programs
+    # take minutes to build cold, seconds warm (first-solve target < 120 s)
+    cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                               os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                            '.jax_cache'))
     if cache_dir:
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)

@@ -119,13 +119,39 @@ class IBR:
         kkt = jnp.max(jnp.abs(jax.grad(cost_fn)(ua_new) + G.T @ l_new))
         return u_full.at[s0:s1].set(ua_new), l_new, kkt
 
-    def _response_sensitivities(self, a: int, u_full, x0, up, P):
-        """Opponent best-response sensitivities S_o = d u_o / d u_a by the implicit function
-        theorem on each opponent's (cost-only) stationarity: S_o = -H_oo^{-1} H_oa.
+    def _opponent_duals(self, o: int, u_full, x0, up, P):
+        """Least-squares multiplier estimate for opponent o's BR KKT at ``u_full``.
 
-        Mirrors the reference's policy-sensitivity IBR (``IBR.py:642-657``); the reference
-        differentiates the full BR KKT incl. constraint terms, here the unconstrained
-        stationarity is used (constraint-multiplier terms dropped).
+        Solves min ||grad J_o + C_u' lam|| over lam supported on the near-active rows of
+        o's constraints, clipped at 0 — the stand-in for the multipliers the reference
+        carries over from o's last BR NLP solve (``IBR.py:616-621``).
+        """
+        prob = self.problem
+        s0o, s1o = self.ua_slices[o]
+        idxs = self.br_idxs[o]
+
+        def cons_o(uf):
+            return prob.eval_constraints(uf, x0, up, P)[idxs]
+
+        g = cons_o(u_full)
+        Gu = jax.jacrev(cons_o)(u_full)[:, s0o:s1o]
+        grad = jax.grad(lambda uu: prob.agent_cost(o, uu, x0, up, P))(u_full)[s0o:s1o]
+        eps_act = 1e-4 * (1.0 + jnp.max(jnp.abs(g)))
+        act = (g > -eps_act).astype(u_full.dtype)
+        Ga = Gu * act[:, None]
+        lam, *_ = jnp.linalg.lstsq(Ga.T, -grad, rcond=None)
+        return jnp.maximum(lam * act, 0.0)
+
+    def _response_sensitivities(self, a: int, u_full, x0, up, P):
+        """Opponent best-response sensitivities S_o = d u_o / d u_a via the implicit
+        function theorem on each opponent's FULL BR KKT system (the reference's
+        policy-sensitivity construction, ``IBR.py:642-657``):
+
+            F(u_o, lam_o; u_a) = [ grad_{u_o}(J_o + lam_o' C_o) ; lam_o o C_o ] = 0
+            S_o = -[dF/d(u_o, lam_o)]^{-1} dF/du_a   (u_o rows)
+
+        Multipliers enter through :meth:`_opponent_duals`; the constraint-curvature and
+        active-set coupling terms the round-1 implementation dropped are included.
         """
         prob = self.problem
         s0a, s1a = self.ua_slices[a]
@@ -134,16 +160,28 @@ class IBR:
             if o == a:
                 continue
             s0o, s1o = self.ua_slices[o]
-
-            def grad_o(uf):
-                return jax.grad(lambda uu: prob.agent_cost(o, uu, x0, up, P))(uf)[s0o:s1o]
-
-            H = jax.jacfwd(grad_o)(u_full)
-            H_oo = H[:, s0o:s1o]
-            H_oa = H[:, s0a:s1a]
             n_o = s1o - s0o
-            S = -jnp.linalg.solve(H_oo + 1e-8 * jnp.eye(n_o, dtype=u_full.dtype), H_oa)
-            sens[o] = S
+            idxs = self.br_idxs[o]
+            lam_o = self._opponent_duals(o, u_full, x0, up, P)
+            m_o = lam_o.shape[0]
+
+            def F(u_o, lam, u_a):
+                uf = u_full.at[s0o:s1o].set(u_o).at[s0a:s1a].set(u_a)
+                C = prob.eval_constraints(uf, x0, up, P)[idxs]
+                lag = lambda uu: (prob.agent_cost(o, uu, x0, up, P)
+                                  + jnp.dot(lam, prob.eval_constraints(uu, x0, up, P)[idxs]))
+                stat = jax.grad(lag)(uf)[s0o:s1o]
+                return jnp.concatenate([stat, lam * C])
+
+            u_o0 = u_full[s0o:s1o]
+            u_a0 = u_full[s0a:s1a]
+            J_uo = jax.jacfwd(F, argnums=0)(u_o0, lam_o, u_a0)
+            J_lam = jax.jacfwd(F, argnums=1)(u_o0, lam_o, u_a0)
+            J_ua = jax.jacfwd(F, argnums=2)(u_o0, lam_o, u_a0)
+            Jz = jnp.concatenate([J_uo, J_lam], axis=1)
+            reg = 1e-8 * jnp.eye(n_o + m_o, dtype=u_full.dtype)
+            S_full = -jnp.linalg.solve(Jz + reg, J_ua)
+            sens[o] = S_full[:n_o]
         return sens
 
     def _solve_br(self, a: int, u_full, x0, up, P):

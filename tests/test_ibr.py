@@ -71,3 +71,48 @@ def test_ps_ibr_runs():
     info = ibr.solve([VehicleState(), VehicleState()])
     assert np.isfinite(info['u_sol']).all()
     assert np.abs(info['u_sol']).max() > 0
+
+
+def test_ps_sensitivities_match_finite_differences():
+    """The BR-KKT implicit-function sensitivities (reference IBR.py:642-657) predict the
+    opponent's exact re-solved best response to first order — with an ACTIVE constraint,
+    which the round-1 cost-only simplification got wrong."""
+    import jax
+
+    # agent 1 tracks a target but a shared terminal constraint x0+x1 <= 0.6 binds
+    joint, costs, bounds = _game(gamma=0.0)
+
+    def shared_term(x):
+        return jnp.array([x[0] + x[1] - 0.6])
+
+    shared_list = [None] * N + [shared_term]
+    ibr = IBR(joint, costs, [None, None], shared_list, bounds,
+              IBRParams(N=N, dt=DT, ibr_iters=8, br_sqp_iters=30,
+                        p_tol=1e-9, d_tol=1e-9), print_method=None)
+    dtype = ibr.dtype
+    x0 = jnp.zeros(joint.n_q, dtype)
+    up = jnp.zeros(joint.n_u, dtype)
+
+    # settle at the (constrained) BR fixed point first
+    u = jnp.zeros(ibr.problem.n_dec, dtype)
+    for _ in range(6):
+        for a in range(ibr.M):
+            u = ibr._solve_br(a, u, x0, up, None)
+    g = ibr.problem.eval_constraints(u, x0, up, None)
+    assert float(g.max()) > -1e-3, 'terminal shared constraint should be active'
+
+    # sensitivity of agent 1 (opponent) wrt agent 0's inputs at the fixed point
+    sens = ibr._response_sensitivities(0, u, x0, up, None)
+    S = np.asarray(sens[1])
+
+    # finite difference: perturb agent 0's first input, re-solve agent 1's BR exactly
+    s00, s01 = ibr.ua_slices[0]
+    s10, s11 = ibr.ua_slices[1]
+    eps = 1e-4
+    du = jnp.zeros(ibr.problem.n_dec, dtype).at[s00].set(eps)
+    u_plus = ibr._solve_br(1, u + du, x0, up, None)
+    u_minus = ibr._solve_br(1, u - du, x0, up, None)
+    fd = np.asarray((u_plus - u_minus)[s10:s11]) / (2 * eps)
+    pred = S[:, 0]
+    assert np.abs(fd).max() > 1e-3, 'opponent must actually respond'
+    np.testing.assert_allclose(pred, fd, atol=5e-3 + 0.05 * np.abs(fd).max())
