@@ -116,8 +116,148 @@ class CA_LTV_MPC:
         self.t = 0.0
 
         self._build_plan()
-        self._qp_step_jit = jax.jit(self._qp_step)
+        self.qp_backend = getattr(params, 'qp_backend', 'dense')
+        if self.qp_backend == 'riccati':
+            if (self.soft_state_idxs or self.params.soft_constraint_idxs):
+                raise ValueError("qp_backend='riccati' does not support soft "
+                                 "constraints; use 'dense'")
+            self._build_riccati_plan()
+            self._qp_step_jit = jax.jit(self._qp_step_riccati)
+        else:
+            self._qp_step_jit = jax.jit(self._qp_step)
         self.initialized = True
+
+    def _build_riccati_plan(self):
+        """Stage-block layout for the structured backend (solvers/ocp_qp.py).
+
+        Mapping: x~_k = (q_k, u_{k-1}) (= the dense layout's z_k), v_k = du_k;
+        dynamics x~_{k+1} = [[A_k, B_k],[0, I]] x~_k + [[B_k],[I]] v_k + [g_k; 0].
+        Every cost and constraint of the MPC is stage-local in (x~_k, v_k), so the
+        block-tridiagonal structure is exact — the same problem HPIPM receives from the
+        reference (``CA_LTV_MPC.py:563-634``).
+        """
+        N, n_q, n_u, n_z = self.N, self.n_q, self.n_u, self.n_z
+        finite_ub = np.isfinite(np.concatenate([self.state_ub, self.input_ub]))
+        finite_lb = np.isfinite(np.concatenate([self.state_lb, self.input_lb]))
+        ub_idx = np.where(finite_ub)[0]
+        lb_idx = np.where(finite_lb)[0]
+        du_ub_idx = np.where(np.isfinite(self.du_ub))[0]
+        du_lb_idx = np.where(np.isfinite(self.du_lb))[0]
+        n_box = ub_idx.size + lb_idx.size
+        n_du = du_ub_idx.size + du_lb_idx.size
+        m_nl = max(self.n_c) if self.n_c else 0
+        mi = n_box + n_du + max(m_nl, 1)
+        self._ric_mi = mi
+        qu_ub = np.concatenate([self.state_ub, self.input_ub])
+        qu_lb = np.concatenate([self.state_lb, self.input_lb])
+
+        D0 = np.zeros((N + 1, mi, n_z))
+        E0 = np.zeros((N + 1, mi, n_u))
+        b0 = np.ones((N + 1, mi))
+        for k in range(N + 1):
+            r = 0
+            for j in ub_idx:
+                D0[k, r, j], b0[k, r] = 1.0, qu_ub[j]
+                r += 1
+            for j in lb_idx:
+                D0[k, r, j], b0[k, r] = -1.0, -qu_lb[j]
+                r += 1
+            if k < N:
+                for j in du_ub_idx:
+                    E0[k, r, j], b0[k, r] = 1.0, self.du_ub[j]
+                    r += 1
+                for j in du_lb_idx:
+                    E0[k, r, j], b0[k, r] = -1.0, -self.du_lb[j]
+                    r += 1
+        # stage 0's x~ is fixed by the IC: boxing it adds nothing when feasible and
+        # makes the QP infeasible when the measured state grazes a bound — vacuate.
+        D0[0, :n_box] = 0.0
+        b0[0, :n_box] = 1.0
+        self._ric_D0, self._ric_E0, self._ric_b0 = D0, E0, b0
+        self._ric_nl_row0 = n_box + n_du  # first nonlinear row within each stage
+
+    def _qp_step_riccati(self, D, q0, u_prev, P=None):
+        """Structured counterpart of :meth:`_qp_step`: same linearization point, the QP
+        solved by the Riccati OCP-QP kernel.  Returns (D_bar, ok)."""
+        from dgsqp_tpu.solvers.ocp_qp import solve_ocp_qp
+
+        N, n_q, n_u, n_z = self.N, self.n_q, self.n_u, self.n_z
+        dtype = self.dtype
+        qu = D[:n_z * (N + 1)].reshape(N + 1, n_z)
+        du = D[n_z * (N + 1):].reshape(N, n_u)
+        q_ref = qu[:, :n_q]
+        u_ref = qu[:, n_q:]
+
+        # ---- stage cost blocks from the same quad groups as the dense path
+        Qx = jnp.zeros((N + 1, n_z, n_z), dtype) + 1e-10 * jnp.eye(n_z, dtype=dtype)
+        qx = jnp.zeros((N + 1, n_z), dtype)
+        Rv = jnp.zeros((N, n_u, n_u), dtype) + 1e-10 * jnp.eye(n_u, dtype=dtype)
+        rv = jnp.zeros((N, n_u), dtype)
+        Sxv = jnp.zeros((N, n_u, n_z), dtype)
+        reg = 1e-9
+        x_refs = {'state': q_ref, 'input': u_ref,
+                  'rate': jnp.concatenate([du, jnp.zeros((1, n_u), dtype)])}
+        offs = {'state': 0, 'input': n_q}
+
+        for kind, fn, ks, nb, _r, _c, _h in self._cost_groups:
+            refs = x_refs[kind][ks]
+
+            def quad(x_ref, k):
+                val_fn = lambda xx: _call1(fn, xx, P, k)
+                M = jax.hessian(val_fn)(x_ref) + reg * jnp.eye(nb, dtype=dtype)
+                m = jax.grad(val_fn)(x_ref)
+                return M, m - M @ x_ref
+
+            Ms, ms = jax.vmap(quad)(refs, ks)
+            if kind == 'rate':
+                Rv = Rv.at[ks].add(Ms)
+                rv = rv.at[ks].add(ms)
+            else:
+                o = offs[kind]
+                Qx = Qx.at[ks, o:o + nb, o:o + nb].add(Ms)
+                qx = qx.at[ks, o:o + nb].add(ms)
+
+        # ---- dynamics blocks: x~_{k+1} = [[A,B],[0,I]] x~ + [[B],[I]] v + [g;0]
+        A_all = jax.vmap(self.dynamics.fAd)(q_ref[:-1], u_ref[1:])
+        B_all = jax.vmap(self.dynamics.fBd)(q_ref[:-1], u_ref[1:])
+        fd_all = jax.vmap(self.dynamics.fd)(q_ref[:-1], u_ref[1:])
+        g_all = fd_all - jnp.einsum('kij,kj->ki', A_all, q_ref[:-1]) \
+            - jnp.einsum('kij,kj->ki', B_all, u_ref[1:])
+        At = jnp.zeros((N, n_z, n_z), dtype)
+        At = At.at[:, :n_q, :n_q].set(A_all)
+        At = At.at[:, :n_q, n_q:].set(B_all)
+        At = At.at[:, n_q:, n_q:].set(jnp.eye(n_u, dtype=dtype))
+        Bt = jnp.zeros((N, n_z, n_u), dtype)
+        Bt = Bt.at[:, :n_q, :].set(B_all)
+        Bt = Bt.at[:, n_q:, :].set(jnp.eye(n_u, dtype=dtype))
+        gt = jnp.zeros((N, n_z), dtype).at[:, :n_q].set(g_all)
+
+        # ---- inequalities: static boxes/du template + linearized nonlinear rows
+        Dm = jnp.asarray(self._ric_D0, dtype)
+        Em = jnp.asarray(self._ric_E0, dtype)
+        bm = jnp.asarray(self._ric_b0, dtype)
+        r0 = self._ric_nl_row0
+        for fn, ks, m, _rows, _rq, _cq, _ru, _cu in self._nl_groups:
+            qs, us = q_ref[ks], u_ref[ks]
+
+            def lin(qk, uk, k):
+                val = jnp.atleast_1d(_call2(fn, qk, uk, P, k))
+                Jq = jax.jacfwd(lambda qq: jnp.atleast_1d(_call2(fn, qq, uk, P, k)))(qk)
+                Ju = jax.jacfwd(lambda uu: jnp.atleast_1d(_call2(fn, qk, uu, P, k)))(uk)
+                return val, Jq, Ju
+
+            vals, Jqs, Jus = jax.vmap(lin)(qs, us, ks)
+            Dm = Dm.at[ks, r0:r0 + m, :n_q].set(Jqs)
+            Dm = Dm.at[ks, r0:r0 + m, n_q:].set(Jus)
+            rhs = (jnp.einsum('kmj,kj->km', Jqs, qs)
+                   + jnp.einsum('kmj,kj->km', Jus, us) - vals)
+            bm = bm.at[ks, r0:r0 + m].set(rhs)
+
+        x0t = jnp.concatenate([q0, u_prev])
+        sol = solve_ocp_qp(At, Bt, gt, Qx, Sxv, Rv, qx, rv, Dm, Em, bm, x0t,
+                           tol=1e-8 if dtype == jnp.float64 else 1e-6)
+        D_bar = jnp.concatenate([sol.x.reshape(-1), sol.v.reshape(-1)])
+        return D_bar, sol.ok
 
     def _build_plan(self):
         """Precompute the static QP structure (numpy, once): identity parts of the

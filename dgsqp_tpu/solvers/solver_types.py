@@ -219,5 +219,9 @@ class CALTVMPCParams(ControllerConfig):
     verbose: bool = False
     solver_name: str = 'CA_LTV_MPC'
     qp_interface: str = 'jax'  # inert
+    # 'dense' = Schur/IPM eq-QP on the full decision vector; 'riccati' = the
+    # stage-structured OCP-QP kernel (solvers/ocp_qp.py — the HPIPM-role backend,
+    # O(N n^3) per IPM iteration).  'riccati' requires no soft constraints.
+    qp_backend: str = 'dense'
     debug_plot: bool = False
     pause_on_plot: bool = False

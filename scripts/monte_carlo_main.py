@@ -13,6 +13,10 @@ Examples:
     python scripts/monte_carlo_main.py --scenario agents --agents 3 --solver dgsqp
     python scripts/monte_carlo_main.py --scenario chicane --formulation approximate
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import argparse
 import json
 import sys

@@ -7,6 +7,10 @@ function is wrapped to return a single scalar so the host genuinely waits for co
 ``block_until_ready`` alone does not force full materialization through the axon tunnel.
 Guides kernel optimization (SURVEY.md perf plan).
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import os
 import time
 

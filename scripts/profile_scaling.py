@@ -8,6 +8,10 @@ the convexification/QP iteration budgets.
 
 Env: BATCHES (comma list, default "128,512,2048"), REPS (default 8).
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import os
 import time
 

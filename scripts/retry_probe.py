@@ -5,6 +5,10 @@ Runs the bench chicane batch under the reference configuration, collects the
 non-converged games, and re-solves just those under a battery of variants
 (regularization, merit function, v2-NMS).  Informs the harness retry cascade.
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import os
 import time
 

@@ -112,3 +112,46 @@ def test_soft_state_bounds():
     assert ok
     # soft bound may be violated slightly but not wildly
     assert mpc.q_pred[:, 1].max() < 0.75
+
+
+def test_riccati_backend_matches_dense():
+    """qp_backend='riccati' (stage-structured OCP-QP kernel) reproduces the dense
+    backend's MPC solution on the tracking problem with active input bounds."""
+    from dgsqp_tpu.dynamics import KinematicUnicycle, UnicycleConfig
+
+    def build(backend):
+        model = KinematicUnicycle(0.0, UnicycleConfig(dt=DT))
+        W = jnp.asarray(np.diag([10.0, 10.0, 1.0, 1.0]))
+        tgt = jnp.asarray([1.0, 0.5, 0.0, 0.0])
+        costs = {'state': [lambda q: 0.5 * (q - tgt) @ W @ (q - tgt)] * (N + 1),
+                 'input': [lambda u: 0.05 * (u[0] ** 2 + u[1] ** 2)] * (N + 1),
+                 'rate': [lambda du: 0.05 * (du[0] ** 2 + du[1] ** 2)] * N}
+        constraints = {'state_input': [None] * (N + 1), 'rate': [None] * N}
+        ub = VehicleState(x=Position(x=np.inf, y=np.inf),
+                          e=OrientationEuler(psi=np.inf),
+                          v=BodyLinearVelocity(v_long=5.0),
+                          u=VehicleActuation(u_a=3.0, u_steer=3.0))
+        lb = VehicleState(x=Position(x=-np.inf, y=-np.inf),
+                          e=OrientationEuler(psi=-np.inf),
+                          v=BodyLinearVelocity(v_long=-5.0),
+                          u=VehicleActuation(u_a=-3.0, u_steer=-3.0))
+        du_ub = VehicleState(u=VehicleActuation(u_a=10.0 * DT, u_steer=10.0 * DT))
+        du_lb = VehicleState(u=VehicleActuation(u_a=-10.0 * DT, u_steer=-10.0 * DT))
+        params = CALTVMPCParams(N=N, dt=DT, qp_iters=3, damping=0.5,
+                                qp_backend=backend)
+        return CA_LTV_MPC(model, costs, constraints,
+                          {'qu_ub': ub, 'qu_lb': lb, 'du_ub': du_ub, 'du_lb': du_lb},
+                          params, print_method=None)
+
+    st = VehicleState(t=0.0)
+    st.v.v_long = 0.5
+    dense = build('dense')
+    assert dense.solve(VehicleState(t=0.0, v=st.v))
+    st2 = VehicleState(t=0.0)
+    st2.v.v_long = 0.5
+    ric = build('riccati')
+    assert ric.solve(st2)
+    np.testing.assert_allclose(ric.u_pred, dense.u_pred, atol=2e-4)
+    np.testing.assert_allclose(ric.q_pred, dense.q_pred, atol=2e-4)
+    # the du rate bound binds initially (both backends agree on the active set)
+    assert np.abs(ric.du_pred).max() <= 10.0 * DT + 1e-6
