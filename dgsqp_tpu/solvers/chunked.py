@@ -8,9 +8,11 @@ size — the batched answer to the reference's one-process-per-sample scheduling
 (``scripts/comparison_study_barc/monte_carlo_main.py``).
 
 Used by ``DGSQP`` (flat round machine) and ``DGSQPV2`` (whose NMS body is already a
-fixed-signature round).  Compaction is skipped when inputs are sharded over multiple
-devices — SPMD runs keep their static layout (per-shard compaction is the documented
-follow-up).
+fixed-signature round).  Single-host SPMD batches (a ``NamedSharding`` over a device
+mesh) compact GLOBALLY: the straggler gather is jitted with explicit ``out_shardings``
+so the smaller bucket is re-sharded evenly over the same mesh (the compaction bucket is
+rounded up to a multiple of the device count).  Only multi-host (``jax.distributed``)
+arrays — not fully addressable from one process — fall back to the fixed-layout loop.
 """
 from __future__ import annotations
 
@@ -19,11 +21,21 @@ from typing import Callable, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
 
 
 def _multi_device(a) -> bool:
     sh = getattr(a, 'sharding', None)
     return sh is not None and len(getattr(sh, 'device_set', ())) > 1
+
+
+def _batch_sharding(*arrays) -> Optional[NamedSharding]:
+    """The mesh sharding of the batch axis, if any input is mesh-sharded."""
+    for a in arrays:
+        sh = getattr(a, 'sharding', None)
+        if isinstance(sh, NamedSharding) and len(sh.device_set) > 1:
+            return sh
+    return None
 
 
 def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
@@ -39,8 +51,12 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
     batch order on the input device.
     """
     first_leaf = jax.tree_util.tree_leaves(carry)[0]
+    batch_sh = _batch_sharding(x0, first_leaf)
     if can_compact is None:
-        can_compact = not any(_multi_device(a) for a in (first_leaf, x0, up))
+        # single-device batches always compact; mesh-sharded batches compact when the
+        # mesh is known (NamedSharding) so the bucket can be re-sharded explicitly
+        can_compact = (not any(_multi_device(a) for a in (first_leaf, x0, up))
+                       or batch_sh is not None)
 
     # Multi-host (jax.distributed) arrays are not fully addressable from any one
     # process: no host-side harvest/compaction is possible, so run the plain chunk
@@ -58,14 +74,25 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         return carry, x0, up, history
 
     B0 = int(getattr(carry, status_field).shape[0])
-    try:
-        target_dev = list(first_leaf.devices())[0]
-    except Exception:
-        target_dev = None
+    n_dev = 1
+    if batch_sh is not None:
+        # mesh-sharded batch: index vectors ride REPLICATED over the same mesh (a
+        # single-device placement here breaks the jitted scatter/gather), and the
+        # compacted bucket re-shards over the batch axis via explicit out_shardings
+        n_dev = len(batch_sh.device_set)
+        rep_sh = NamedSharding(batch_sh.mesh, PartitionSpec())
 
-    def to_dev(a):
-        return jax.device_put(a, target_dev) if target_dev is not None \
-            else jnp.asarray(a)
+        def to_dev(a):
+            return jax.device_put(a, rep_sh)
+    else:
+        try:
+            target_dev = list(first_leaf.devices())[0]
+        except Exception:
+            target_dev = None
+
+        def to_dev(a):
+            return jax.device_put(a, target_dev) if target_dev is not None \
+                else jnp.asarray(a)
 
     # Everything bulky stays ON DEVICE: the store is scatter-updated there, compaction is
     # a device-side gather, and the host only ever reads the per-game STATUS bytes (under
@@ -84,9 +111,14 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         return jax.tree_util.tree_map(
             lambda s, c: s.at[scatter_idx].set(c, mode='drop'), store, carry)
 
-    @jax.jit
-    def gather(tree, pad_idx):
+    def _gather_tree(tree, pad_idx):
         return jax.tree_util.tree_map(lambda a: a[pad_idx], tree)
+
+    if batch_sh is not None:
+        # compacted bucket re-shards evenly over the mesh's batch axis
+        gather = jax.jit(_gather_tree, out_shardings=batch_sh)
+    else:
+        gather = jax.jit(_gather_tree)
 
     def harvest(carry):
         scatter_idx = to_dev(jnp.asarray(np.where(valid_h, idx_h, B0), jnp.int32))
@@ -104,6 +136,7 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
             store = harvest(carry)
             break
         bucket = max(min_bucket, 1 << (n_run - 1).bit_length())
+        bucket = -(-bucket // n_dev) * n_dev     # divisible by the mesh size
         if can_compact and bucket <= valid_h.size // 2:
             store = harvest(carry)
             sel = np.where(running)[0]
@@ -114,8 +147,7 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
             valid_h = np.zeros(bucket, bool)
             valid_h[:sel.size] = True
             idx_dev = to_dev(jnp.asarray(idx_h, jnp.int32))
-            x0_c = x0_all[idx_dev]
-            up_c = up_all[idx_dev]
+            x0_c, up_c = gather((x0_all, up_all), idx_dev)
     else:
         store = harvest(carry)
 

@@ -283,6 +283,105 @@ def test_flat_compaction_matches_uncompacted():
     assert batches[0] == B
 
 
+def test_flat_compaction_spmd_matches_single_device():
+    """Mesh-sharded batches compact too: the straggler bucket is re-sharded over the
+    mesh (chunked.py) and every game's status/solution matches the single-device run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+    def stage(x, u, um):
+        return 0.5 * u[0] ** 2
+
+    def term_0(x):
+        return 0.5 * 100.0 * (x[0] - 1.0) ** 2 + 0.5 * jnp.tanh(x[0] - x[1])
+
+    def term_1(x):
+        return 0.5 * 100.0 * (x[1] - 1.0) ** 2 + 0.5 * jnp.tanh(x[1] - x[0])
+
+    ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+    lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+    params = DGSQPParams(N=N, dt=DT, reg=1e-3, p_tol=1e-8, d_tol=1e-8,
+                         sqp_iters=50, nonmono_ls=True, beta=0.01, tau=0.5)
+    solver = DGSQP(joint, [(stage, term_0), (stage, term_1)], [None, None], None,
+                   {'ub': [ub, ub], 'lb': [lb, lb]}, params, print_method=None)
+    solver._compact_min_bucket = 2
+
+    n_dev = min(8, jax.device_count())
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=('games',))
+    sharding = NamedSharding(mesh, P('games'))
+
+    rng = np.random.default_rng(11)
+    B = 4 * n_dev
+    # heterogeneous difficulty: most games start near the (1,1) target and finish in
+    # the first chunk; a few start far away and straggle, forcing a compaction
+    x0_easy = rng.uniform(0.9, 1.1, (B - 4, 2))
+    x0_hard = rng.uniform(-30.0, -20.0, (4, 2))
+    x0s = jnp.asarray(np.concatenate([x0_easy, x0_hard]))
+    u0 = jnp.zeros((B, 2 * N))
+    l0 = jnp.zeros((B, solver.n_c))
+    ups = jnp.zeros((B, 2))
+    res_1dev = solver.solve_batch_chunked(u0, l0, x0s, ups, chunk_iters=1)
+    hist_1dev = solver.last_chunk_history
+
+    args_sh = [jax.device_put(a, sharding) for a in (u0, l0, x0s, ups)]
+    res_spmd = solver.solve_batch_chunked(*args_sh, chunk_iters=1)
+    hist_spmd = solver.last_chunk_history
+
+    assert np.array_equal(np.asarray(res_1dev.status), np.asarray(res_spmd.status))
+    np.testing.assert_allclose(np.asarray(res_1dev.u), np.asarray(res_spmd.u),
+                               atol=1e-10)
+    assert hist_spmd[0]['batch'] == B == hist_1dev[0]['batch']
+
+
+def test_chunked_driver_compacts_spmd_batches():
+    """run_chunked_compacted with mesh-sharded inputs: staggered finishers shrink the
+    live bucket (in mesh-size multiples) and every game's payload is harvested back to
+    its original slot."""
+    from collections import namedtuple
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from dgsqp_tpu.solvers.chunked import run_chunked_compacted
+
+    C = namedtuple('C', ['status', 'ticks', 'payload'])
+    n_dev = min(8, jax.device_count())
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=('games',))
+    sharding = NamedSharding(mesh, P('games'))
+    B = 4 * n_dev
+
+    # game i finishes after ticks0[i] chunks; payload echoes x0 so reassembly is checkable
+    ticks0 = np.array([1 + 3 * (i % 3) + (7 if i % 11 == 0 else 0) for i in range(B)])
+    x0 = np.arange(B, dtype=np.float64)[:, None] * np.ones((1, 3))
+    up = np.zeros((B, 2))
+
+    def chunk_fn(c, x, u_p):
+        running = c.status == 0     # finished games freeze (as the solver bodies do)
+        ticks = jnp.where(running, c.ticks - 1, c.ticks)
+        payload = jnp.where(running[:, None], c.payload + x[:, :1], c.payload)
+        status = jnp.where(ticks <= 0, 1, 0).astype(jnp.int32)
+        return C(status, ticks, payload)
+
+    carry = C(status=jnp.zeros(B, jnp.int32), ticks=jnp.asarray(ticks0),
+              payload=jnp.zeros((B, 1)))
+    carry = jax.device_put(carry, sharding)
+    x0_d = jax.device_put(jnp.asarray(x0), sharding)
+    up_d = jax.device_put(jnp.asarray(up), sharding)
+
+    final, x0_f, up_f, history = run_chunked_compacted(
+        carry, x0_d, up_d, chunk_fn, running_status=0, max_chunks=50, min_bucket=2)
+
+    # every game ran exactly ticks0 chunks: payload = ticks0 * x0[:, 0]
+    np.testing.assert_allclose(np.asarray(final.payload[:, 0]),
+                               ticks0 * x0[:, 0], atol=0)
+    assert (np.asarray(final.status) == 1).all()
+    batches = [h['batch'] for h in history]
+    assert batches[0] == B
+    assert min(batches) < B                     # it really compacted
+    assert all(b % n_dev == 0 for b in batches)  # mesh-divisible buckets
+    np.testing.assert_allclose(np.asarray(x0_f), x0)  # originals returned intact
+
+
 def test_retry_cascade_rescues_failures():
     """solve_with_retries must merge retry-solver successes into the primary result."""
     from dgsqp_tpu.harness.mc_study import solve_with_retries
