@@ -116,9 +116,16 @@ class CA_LTV_MPC:
         self.t = 0.0
 
         self._build_plan()
-        self.qp_backend = getattr(params, 'qp_backend', 'dense')
-        if self.qp_backend == 'riccati':
-            if (self.soft_state_idxs or self.params.soft_constraint_idxs):
+        backend = getattr(params, 'qp_backend', 'auto')
+        has_soft = bool(self.soft_state_idxs or self.params.soft_constraint_idxs)
+        if backend == 'auto':
+            # the stage-structured kernel is both O(N n^3) and the numerically sturdier
+            # backend in float32 (the dense eq-QP's unpreconditioned Cholesky chain can
+            # fail certification on TPU); soft constraints still require the dense path
+            backend = 'dense' if has_soft else 'riccati'
+        self.qp_backend = backend
+        if backend == 'riccati':
+            if has_soft:
                 raise ValueError("qp_backend='riccati' does not support soft "
                                  "constraints; use 'dense'")
             self._build_riccati_plan()
