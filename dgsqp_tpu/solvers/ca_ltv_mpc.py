@@ -117,17 +117,13 @@ class CA_LTV_MPC:
 
         self._build_plan()
         backend = getattr(params, 'qp_backend', 'auto')
-        has_soft = bool(self.soft_state_idxs or self.params.soft_constraint_idxs)
         if backend == 'auto':
             # the stage-structured kernel is both O(N n^3) and the numerically sturdier
             # backend in float32 (the dense eq-QP's unpreconditioned Cholesky chain can
-            # fail certification on TPU); soft constraints still require the dense path
-            backend = 'dense' if has_soft else 'riccati'
+            # fail certification on TPU)
+            backend = 'riccati'
         self.qp_backend = backend
         if backend == 'riccati':
-            if has_soft:
-                raise ValueError("qp_backend='riccati' does not support soft "
-                                 "constraints; use 'dense'")
             self._build_riccati_plan()
             self._qp_step_jit = jax.jit(self._qp_step_riccati)
         else:
@@ -137,13 +133,26 @@ class CA_LTV_MPC:
     def _build_riccati_plan(self):
         """Stage-block layout for the structured backend (solvers/ocp_qp.py).
 
-        Mapping: x~_k = (q_k, u_{k-1}) (= the dense layout's z_k), v_k = du_k;
-        dynamics x~_{k+1} = [[A_k, B_k],[0, I]] x~_k + [[B_k],[I]] v_k + [g_k; 0].
-        Every cost and constraint of the MPC is stage-local in (x~_k, v_k), so the
-        block-tridiagonal structure is exact — the same problem HPIPM receives from the
-        reference (``CA_LTV_MPC.py:563-634``).
+        Mapping: x~_k = (q_k, u_{k-1}) (= the dense layout's z_k), v_k = (du_k, s_k);
+        dynamics x~_{k+1} = [[A_k, B_k],[0, I]] x~_k + [[B_k],[I], 0] v_k + [g_k; 0].
+        Soft-constraint slacks s_k are extra stage INPUTS (zero dynamics columns, quad +
+        linear penalties in the stage cost, -1 coefficients in their constraint rows and
+        nonnegativity rows) — and a dummy pass-through dynamics stage N
+        (x~_{N+1} = x~_N) makes stage N interior so its slacks s_N exist.  Every cost
+        and constraint of the MPC is then stage-local in (x~_k, v_k) and the
+        block-tridiagonal structure is exact — the same slack-augmented stage QP the
+        reference hands HPIPM (``CA_LTV_MPC.py:446-533,563-634``).
         """
         N, n_q, n_u, n_z = self.N, self.n_q, self.n_u, self.n_z
+        soft_state = list(self.soft_state_idxs or [])
+        n_ss = len(soft_state)
+        soft_c = list(self.params.soft_constraint_idxs or [])
+        n_sc = len(soft_c)
+        n_s = 2 * n_ss + n_sc
+        nv = n_u + n_s
+        self._ric_ns = n_s
+        self._ric_nv = nv
+
         finite_ub = np.isfinite(np.concatenate([self.state_ub, self.input_ub]))
         finite_lb = np.isfinite(np.concatenate([self.state_lb, self.input_lb]))
         ub_idx = np.where(finite_ub)[0]
@@ -153,21 +162,26 @@ class CA_LTV_MPC:
         n_box = ub_idx.size + lb_idx.size
         n_du = du_ub_idx.size + du_lb_idx.size
         m_nl = max(self.n_c) if self.n_c else 0
-        mi = n_box + n_du + max(m_nl, 1)
+        mi = n_box + n_du + n_s + max(m_nl, 1)
         self._ric_mi = mi
         qu_ub = np.concatenate([self.state_ub, self.input_ub])
         qu_lb = np.concatenate([self.state_lb, self.input_lb])
 
-        D0 = np.zeros((N + 1, mi, n_z))
-        E0 = np.zeros((N + 1, mi, n_u))
-        b0 = np.ones((N + 1, mi))
+        # stages 0..N carry constraints; N+1 is the vacuous terminal of the dummy stage
+        D0 = np.zeros((N + 2, mi, n_z))
+        E0 = np.zeros((N + 2, mi, nv))
+        b0 = np.ones((N + 2, mi))
         for k in range(N + 1):
             r = 0
             for j in ub_idx:
                 D0[k, r, j], b0[k, r] = 1.0, qu_ub[j]
+                if j < n_q and j in soft_state:
+                    E0[k, r, n_u + 2 * soft_state.index(j)] = -1.0
                 r += 1
             for j in lb_idx:
                 D0[k, r, j], b0[k, r] = -1.0, -qu_lb[j]
+                if j < n_q and j in soft_state:
+                    E0[k, r, n_u + 2 * soft_state.index(j) + 1] = -1.0
                 r += 1
             if k < N:
                 for j in du_ub_idx:
@@ -176,12 +190,36 @@ class CA_LTV_MPC:
                 for j in du_lb_idx:
                     E0[k, r, j], b0[k, r] = -1.0, -self.du_lb[j]
                     r += 1
+            else:
+                r += n_du
+            for i in range(n_s):            # slack nonnegativity: -s_i <= 0
+                E0[k, r, n_u + i], b0[k, r] = -1.0, 0.0
+                r += 1
         # stage 0's x~ is fixed by the IC: boxing it adds nothing when feasible and
         # makes the QP infeasible when the measured state grazes a bound — vacuate.
         D0[0, :n_box] = 0.0
+        E0[0, :n_box] = 0.0
         b0[0, :n_box] = 1.0
+        nl_row0 = n_box + n_du + n_s      # first nonlinear row within each stage
+        self._ric_nl_row0 = nl_row0
+
+        # soft nonlinear rows: static -1 slack coefficient in the stage's nl block
+        cs = self.constraints.get('state_input', [None] * (N + 1))
+        for k in range(N + 1):
+            for jj, c_idx in enumerate(soft_c):
+                if cs[k] is not None and c_idx < self.n_c[k]:
+                    E0[k, nl_row0 + c_idx, n_u + 2 * n_ss + jj] = -1.0
         self._ric_D0, self._ric_E0, self._ric_b0 = D0, E0, b0
-        self._ric_nl_row0 = n_box + n_du  # first nonlinear row within each stage
+        # per-slack quadratic / linear penalty diagonals (stage cost on s_k)
+        quad = np.zeros(n_s)
+        lin = np.zeros(n_s)
+        for jj in range(n_ss):
+            quad[2 * jj] = quad[2 * jj + 1] = self.soft_state_quad[jj]
+            lin[2 * jj] = lin[2 * jj + 1] = self.soft_state_lin[jj]
+        for jj in range(n_sc):
+            quad[2 * n_ss + jj] = self.params.soft_constraint_quad[jj]
+            lin[2 * n_ss + jj] = self.params.soft_constraint_lin[jj]
+        self._ric_slack_quad, self._ric_slack_lin = quad, lin
 
     def _qp_step_riccati(self, D, q0, u_prev, P=None):
         """Structured counterpart of :meth:`_qp_step`: same linearization point, the QP
@@ -189,18 +227,28 @@ class CA_LTV_MPC:
         from dgsqp_tpu.solvers.ocp_qp import solve_ocp_qp
 
         N, n_q, n_u, n_z = self.N, self.n_q, self.n_u, self.n_z
+        nv, n_s = self._ric_nv, self._ric_ns
         dtype = self.dtype
         qu = D[:n_z * (N + 1)].reshape(N + 1, n_z)
         du = D[n_z * (N + 1):].reshape(N, n_u)
         q_ref = qu[:, :n_q]
         u_ref = qu[:, n_q:]
 
-        # ---- stage cost blocks from the same quad groups as the dense path
-        Qx = jnp.zeros((N + 1, n_z, n_z), dtype) + 1e-10 * jnp.eye(n_z, dtype=dtype)
-        qx = jnp.zeros((N + 1, n_z), dtype)
-        Rv = jnp.zeros((N, n_u, n_u), dtype) + 1e-10 * jnp.eye(n_u, dtype=dtype)
-        rv = jnp.zeros((N, n_u), dtype)
-        Sxv = jnp.zeros((N, n_u, n_z), dtype)
+        # ---- stage cost blocks from the same quad groups as the dense path.
+        # Dynamics stages run 0..N (stage N = dummy pass-through for the s_N slacks);
+        # x stages run 0..N+1.
+        Qx = jnp.zeros((N + 2, n_z, n_z), dtype) + 1e-10 * jnp.eye(n_z, dtype=dtype)
+        qx = jnp.zeros((N + 2, n_z), dtype)
+        Rv = jnp.zeros((N + 1, nv, nv), dtype) + 1e-10 * jnp.eye(nv, dtype=dtype)
+        rv = jnp.zeros((N + 1, nv), dtype)
+        Sxv = jnp.zeros((N + 1, nv, n_z), dtype)
+        # dummy stage N's du block is unconstrained and costless — pin it with a unit
+        # quad so the Riccati H_vv stays well-conditioned in f32 (its optimum is 0)
+        Rv = Rv.at[N, :n_u, :n_u].add(jnp.eye(n_u, dtype=dtype))
+        if n_s:
+            Rv = Rv.at[:, n_u:, n_u:].add(
+                jnp.diag(jnp.asarray(self._ric_slack_quad, dtype)))
+            rv = rv.at[:, n_u:].add(jnp.asarray(self._ric_slack_lin, dtype))
         reg = 1e-9
         x_refs = {'state': q_ref, 'input': u_ref,
                   'rate': jnp.concatenate([du, jnp.zeros((1, n_u), dtype)])}
@@ -217,29 +265,31 @@ class CA_LTV_MPC:
 
             Ms, ms = jax.vmap(quad)(refs, ks)
             if kind == 'rate':
-                Rv = Rv.at[ks].add(Ms)
-                rv = rv.at[ks].add(ms)
+                Rv = Rv.at[ks, :n_u, :n_u].add(Ms)
+                rv = rv.at[ks, :n_u].add(ms)
             else:
                 o = offs[kind]
                 Qx = Qx.at[ks, o:o + nb, o:o + nb].add(Ms)
                 qx = qx.at[ks, o:o + nb].add(ms)
 
-        # ---- dynamics blocks: x~_{k+1} = [[A,B],[0,I]] x~ + [[B],[I]] v + [g;0]
+        # ---- dynamics blocks: x~_{k+1} = [[A,B],[0,I]] x~ + [[B],[I],0] v + [g;0],
+        # plus the dummy stage N: x~_{N+1} = x~_N
         A_all = jax.vmap(self.dynamics.fAd)(q_ref[:-1], u_ref[1:])
         B_all = jax.vmap(self.dynamics.fBd)(q_ref[:-1], u_ref[1:])
         fd_all = jax.vmap(self.dynamics.fd)(q_ref[:-1], u_ref[1:])
         g_all = fd_all - jnp.einsum('kij,kj->ki', A_all, q_ref[:-1]) \
             - jnp.einsum('kij,kj->ki', B_all, u_ref[1:])
-        At = jnp.zeros((N, n_z, n_z), dtype)
-        At = At.at[:, :n_q, :n_q].set(A_all)
-        At = At.at[:, :n_q, n_q:].set(B_all)
-        At = At.at[:, n_q:, n_q:].set(jnp.eye(n_u, dtype=dtype))
-        Bt = jnp.zeros((N, n_z, n_u), dtype)
-        Bt = Bt.at[:, :n_q, :].set(B_all)
-        Bt = Bt.at[:, n_q:, :].set(jnp.eye(n_u, dtype=dtype))
-        gt = jnp.zeros((N, n_z), dtype).at[:, :n_q].set(g_all)
+        At = jnp.zeros((N + 1, n_z, n_z), dtype)
+        At = At.at[:N, :n_q, :n_q].set(A_all)
+        At = At.at[:N, :n_q, n_q:].set(B_all)
+        At = At.at[:N, n_q:, n_q:].set(jnp.eye(n_u, dtype=dtype))
+        At = At.at[N].set(jnp.eye(n_z, dtype=dtype))
+        Bt = jnp.zeros((N + 1, n_z, nv), dtype)
+        Bt = Bt.at[:N, :n_q, :n_u].set(B_all)
+        Bt = Bt.at[:N, n_q:, :n_u].set(jnp.eye(n_u, dtype=dtype))
+        gt = jnp.zeros((N + 1, n_z), dtype).at[:N, :n_q].set(g_all)
 
-        # ---- inequalities: static boxes/du template + linearized nonlinear rows
+        # ---- inequalities: static boxes/du/slack template + linearized nonlinear rows
         Dm = jnp.asarray(self._ric_D0, dtype)
         Em = jnp.asarray(self._ric_E0, dtype)
         bm = jnp.asarray(self._ric_b0, dtype)
@@ -263,7 +313,8 @@ class CA_LTV_MPC:
         x0t = jnp.concatenate([q0, u_prev])
         sol = solve_ocp_qp(At, Bt, gt, Qx, Sxv, Rv, qx, rv, Dm, Em, bm, x0t,
                            tol=1e-8 if dtype == jnp.float64 else 1e-6)
-        D_bar = jnp.concatenate([sol.x.reshape(-1), sol.v.reshape(-1)])
+        D_bar = jnp.concatenate([sol.x[:N + 1].reshape(-1),
+                                 sol.v[:N, :n_u].reshape(-1)])
         return D_bar, sol.ok
 
     def _build_plan(self):

@@ -221,8 +221,8 @@ class CALTVMPCParams(ControllerConfig):
     qp_interface: str = 'jax'  # inert
     # 'dense' = Schur/IPM eq-QP on the full decision vector; 'riccati' = the
     # stage-structured OCP-QP kernel (solvers/ocp_qp.py — the HPIPM-role backend,
-    # O(N n^3) per IPM iteration, and the numerically sturdier one in float32).
-    # 'riccati' requires no soft constraints; 'auto' picks riccati when eligible.
+    # O(N n^3) per IPM iteration, and the numerically sturdier one in float32;
+    # soft constraints become slack stage-inputs).  'auto' = riccati.
     qp_backend: str = 'auto'
     debug_plot: bool = False
     pause_on_plot: bool = False

@@ -114,6 +114,51 @@ def test_soft_state_bounds():
     assert mpc.q_pred[:, 1].max() < 0.75
 
 
+def test_riccati_soft_constraints_match_dense():
+    """With soft state bounds, the riccati backend's slack-as-stage-input construction
+    reproduces the dense backend's slack-variable solution."""
+    from dgsqp_tpu.solvers.ca_ltv_mpc import CA_LTV_MPC
+    from dgsqp_tpu.solvers.solver_types import CALTVMPCParams
+
+    def build(backend):
+        model, _ = _make_mpc()
+        W = jnp.asarray(np.diag([10.0, 10.0, 1.0, 1.0]))
+        tgt = jnp.asarray([1.0, 0.8, 0.0, 0.0])
+        costs = {'state': [lambda q: 0.5 * (q - tgt) @ W @ (q - tgt)] * (N + 1),
+                 'input': [lambda u: 0.05 * (u[0] ** 2 + u[1] ** 2)] * (N + 1),
+                 'rate': [lambda du: 0.05 * (du[0] ** 2 + du[1] ** 2)] * N}
+        constraints = {'state_input': [None] * (N + 1), 'rate': [None] * N}
+        ub = VehicleState(x=Position(x=np.inf, y=0.5),
+                          e=OrientationEuler(psi=np.inf),
+                          v=BodyLinearVelocity(v_long=5.0),
+                          u=VehicleActuation(u_a=3.0, u_steer=3.0))
+        lb = VehicleState(x=Position(x=-np.inf, y=-0.5),
+                          e=OrientationEuler(psi=-np.inf),
+                          v=BodyLinearVelocity(v_long=-5.0),
+                          u=VehicleActuation(u_a=-3.0, u_steer=-3.0))
+        du_ub = VehicleState(u=VehicleActuation(u_a=1.0, u_steer=1.0))
+        du_lb = VehicleState(u=VehicleActuation(u_a=-1.0, u_steer=-1.0))
+        params = CALTVMPCParams(N=N, dt=DT, qp_iters=2, damping=0.5,
+                                qp_backend=backend,
+                                soft_state_bound_idxs=[1],
+                                soft_state_bound_quad=[50.0],
+                                soft_state_bound_lin=[5.0])
+        return CA_LTV_MPC(model, costs, constraints,
+                          {'qu_ub': ub, 'qu_lb': lb, 'du_ub': du_ub, 'du_lb': du_lb},
+                          params, print_method=None)
+
+    preds = {}
+    for backend in ('dense', 'riccati'):
+        mpc = build(backend)
+        st = VehicleState(t=0.0)
+        st.v.v_long = 0.5
+        assert mpc.solve(st)
+        assert mpc.q_pred[:, 1].max() < 0.75     # soft bound violated only slightly
+        preds[backend] = (mpc.u_pred.copy(), mpc.q_pred.copy())
+    np.testing.assert_allclose(preds['riccati'][0], preds['dense'][0], atol=2e-4)
+    np.testing.assert_allclose(preds['riccati'][1], preds['dense'][1], atol=2e-4)
+
+
 def test_riccati_backend_matches_dense():
     """qp_backend='riccati' (stage-structured OCP-QP kernel) reproduces the dense
     backend's MPC solution on the tracking problem with active input bounds."""
