@@ -61,6 +61,7 @@ def test_algames_converges_and_satisfies_kkt():
     assert info['cond']['stat'] < 1e-6
 
 
+@pytest.mark.slow
 def test_algames_matches_dgsqp_equilibrium():
     joint, costs, shared_list, bounds = _game()
     al_params = ALGAMESParams(N=N, dt=DT, outer_iters=50, newton_iters=50,

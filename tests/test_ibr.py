@@ -1,4 +1,5 @@
 """IBR tests: best-response fixed point is a Nash equilibrium on the integrator game."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -73,6 +74,7 @@ def test_ps_ibr_runs():
     assert np.abs(info['u_sol']).max() > 0
 
 
+@pytest.mark.slow
 def test_ps_sensitivities_match_finite_differences():
     """The BR-KKT implicit-function sensitivities (reference IBR.py:642-657) predict the
     opponent's exact re-solved best response to first order — with an ACTIVE constraint,
