@@ -22,6 +22,10 @@ def main():
     N = int(os.environ.get('N', 25))
 
     import jax
+    if os.environ.get('DGSQP_PLATFORM'):
+        # the axon plugin overrides JAX_PLATFORMS/JAX_PLATFORM_NAME; only a config
+        # update after import reliably pins the platform (e.g. DGSQP_PLATFORM=cpu)
+        jax.config.update('jax_platforms', os.environ['DGSQP_PLATFORM'])
     import jax.numpy as jnp
     jax.config.update('jax_default_matmul_precision', 'highest')
     accel = jax.devices()[0]
@@ -73,20 +77,41 @@ def main():
         u, l, x, p, None, hessian=True))
     eval_lite = jax.vmap(lambda u, l, x, p: solver.problem.evaluate(
         u, l, x, p, None, hessian=False))
-    conv = jax.vmap(lambda Q: regularized_convexification(Q, 1e-3))
-    qp = jax.vmap(lambda Q, q, G, g: solve_qp(Q, q, G, -g, tol=3e-7))
+    merit = jax.vmap(lambda u, l, x, p: solver.problem.merit_terms(u, l, x, p, None))
+    conv_eigh = jax.vmap(lambda Q: regularized_convexification(Q, 1e-3, method='eigh'))
+    conv_ns = jax.vmap(lambda Q: regularized_convexification(Q, 1e-3, method='ns'))
+    qp = jax.vmap(lambda Q, q, G, g: solve_qp(Q, q, G, -g, tol=3e-7,
+                                              max_iters=solver.params.qp_max_iters))
     rollout = jax.vmap(lambda u, x: solver.problem.rollout(u, x))
 
     print(f'# batch={B} N={N} platform={accel.platform} n_dec={solver.n_dec} '
-          f'n_c={solver.n_c}', flush=True)
+          f'n_c={solver.n_c} qp_iters={solver.params.qp_max_iters} '
+          f'ls={solver.params.line_search_iters}', flush=True)
     timeit('rollout', rollout, u0, x0)
+    timeit('merit terms (d, g)', merit, u0, l0, x0, up)
     out_l = timeit('evaluate (q,G,g)', eval_lite, u0, l0, x0, up)
     out_f = timeit('evaluate (+Q hessian)', eval_full, u0, l0, x0, up)
     Q, q, G, g, _ = out_f
-    Qh = timeit('nearest_pd + reg (eigh)', conv, Q)
+    timeit('convexify (eigh)', conv_eigh, Q)
+    Qh = timeit('convexify (ns)', conv_ns, Q)
     timeit('QP (IPM + PDAS polish)', qp, Qh, q, G, g)
 
-    # one full solver chunk = 8 lockstep SQP iterations incl. line search / watchdog
+    # grid line search at the bench width (merit trials are the dominant LS cost)
+    W = solver.params.line_search_iters
+    du0 = 0.01 * jnp.ones_like(u0)
+    s0 = jnp.minimum(0.0, g)
+    zphi = jnp.zeros((B,), u0.dtype)
+    grid = jax.vmap(lambda u, du, l, s, x, p: solver._grid_ls(
+        jnp.asarray(True), u, du, l, jnp.zeros_like(l), s, jnp.zeros_like(s),
+        jnp.asarray(jnp.inf, u0.dtype), jnp.asarray(0.0, u0.dtype),
+        jnp.asarray(1.0, u0.dtype), x, p, None))
+    timeit(f'grid line search (W={W})', grid, u0, du0, l0, s0, x0, up)
+
+    # one flat ROUND chunk (the production bench path) and the nested chunk
+    init_flat = jax.jit(jax.vmap(lambda u, l: solver._init_flat_carry(u, l)))(u0, l0)
+    round_chunk = jax.vmap(lambda c, x, u_p: jax.lax.fori_loop(
+        0, 8, lambda i, cc: solver._make_round_body(x, u_p, None)(cc), c))
+    timeit('flat rounds x8 (bench path)', round_chunk, init_flat, x0, up, reps=1)
     init = jax.jit(jax.vmap(lambda u, l, x, u_p: solver._init_carry(u, l, x, u_p, None)))(
         u0, l0, x0, up)
     chunk = jax.vmap(lambda c, x, u_p: solver._chunk(c, x, u_p, None, 8))
