@@ -46,7 +46,10 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                              # throughput of eigh at equal conv_abs (57.8% vs 57.4%,
                              # batch 256) and strictly better incl-rel (84.4% vs 70.7%)
                              conv_method=os.environ.get('DGSQP_BENCH_CONV', 'ns'),
-                             qp_polish_iters=int(os.environ.get('DGSQP_BENCH_POLISH', 4)))
+                             qp_polish_iters=int(os.environ.get('DGSQP_BENCH_POLISH', 4)),
+                             # stagnation escape (iterations without 1% stat improvement
+                             # before terminating as 'stalled'; 0 = off)
+                             stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 0)) or None)
         solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,
                        sc.shared_constraints, sc.bounds, params, print_method=None)
     return sc, solver

@@ -34,10 +34,11 @@ from dgsqp_tpu.types import VehiclePrediction, VehicleState
 from dgsqp_tpu.utils.math import regularized_convexification
 
 # status codes
-RUNNING, CONV_ABS, CONV_REL, DIVERGED, QP_FAIL, MAX_IT, TIME_LIMIT = 0, 1, 2, 3, 4, 5, 6
+(RUNNING, CONV_ABS, CONV_REL, DIVERGED, QP_FAIL, MAX_IT, TIME_LIMIT,
+ STALLED) = 0, 1, 2, 3, 4, 5, 6, 7
 STATUS_MSG = {CONV_ABS: 'conv_abs_tol', CONV_REL: 'conv_rel_tol', DIVERGED: 'diverged',
               QP_FAIL: 'qp_fail', MAX_IT: 'max_it', RUNNING: 'running',
-              TIME_LIMIT: 'time_limit'}
+              TIME_LIMIT: 'time_limit', STALLED: 'stalled'}
 
 
 class SQPResult(NamedTuple):
@@ -61,6 +62,8 @@ class _Carry(NamedTuple):
     p_feas: jnp.ndarray
     comp: jnp.ndarray
     stat: jnp.ndarray
+    stat_best: jnp.ndarray   # best stationarity seen (stagnation escape)
+    stall: jnp.ndarray       # consecutive iterations without 1% stat improvement
     B: jnp.ndarray      # BFGS Hessian approximation (unused when exact Hessians)
     B_u: jnp.ndarray    # iterate at which B was last updated
 
@@ -96,6 +99,8 @@ class _FlatCarry(NamedTuple):
     mu: jnp.ndarray         # iteration merit penalty
     phi_k: jnp.ndarray      # merit and directional derivative at the iteration start
     dphi_k: jnp.ndarray
+    stat_best: jnp.ndarray  # best stationarity seen (stagnation escape)
+    stall: jnp.ndarray      # consecutive iterations without 1% stat improvement
 
 
 def _merit_phi(l, s, q, G, g, mu, use_l1: bool):
@@ -469,19 +474,33 @@ class DGSQP:
                 over_budget = qp_solves >= p.qp_solves_limit
             else:
                 over_budget = jnp.asarray(False)
+            # stagnation escape: consecutive iterations without 1% stationarity
+            # improvement (the plateau signature of the no-attainable-GNE instances —
+            # see docs/convergence_analysis.md; deterministic time_limit analog)
+            improved = stat < 0.99 * c.stat_best
+            stat_best = jnp.where(active, jnp.minimum(stat, c.stat_best), c.stat_best)
+            stall = jnp.where(active, jnp.where(improved, 0, c.stall + 1), c.stall)
+            if p.stall_its is not None:
+                is_stalled = stall >= p.stall_its
+            else:
+                is_stalled = jnp.asarray(False)
             new_status = jnp.where(converged, CONV_ABS,
                           jnp.where(diverged, DIVERGED,
                            jnp.where(~qp_ok, QP_FAIL,
                             jnp.where(conv_rel, CONV_REL,
                              jnp.where(it_next >= p.sqp_iters, MAX_IT,
-                              jnp.where(over_budget, TIME_LIMIT, RUNNING))))))
+                              jnp.where(over_budget, TIME_LIMIT,
+                               jnp.where(is_stalled, STALLED, RUNNING)))))))
             status = jnp.where(running, new_status, c.status).astype(jnp.int32)
             p_feas = jnp.where(running, p_feas, c.p_feas)
             comp = jnp.where(running, comp, c.comp)
             stat = jnp.where(running, stat, c.stat)
             rel_its = jnp.where(running, rel_its, c.rel_its)
+            stat_best = jnp.where(running, stat_best, c.stat_best)
+            stall = jnp.where(running, stall, c.stall)
             return _Carry(u_out, l_out, it_next, status, rel_its,
-                          qp_solves, p_feas, comp, stat, B_next, B_u_next)
+                          qp_solves, p_feas, comp, stat, stat_best, stall,
+                          B_next, B_u_next)
 
         return body
 
@@ -622,6 +641,19 @@ class DGSQP:
                     (qp_solves >= p.qp_solves_limit)
                 status = jnp.where(over_budget, TIME_LIMIT, status)
 
+            # stagnation escape: consecutive accepted-iterate evaluations without a 1%
+            # stationarity improvement (plateau signature of the no-attainable-GNE
+            # instances, docs/convergence_analysis.md; deterministic time_limit analog)
+            upd_stall = is_step | accepted
+            improved = stat_t < 0.99 * c.stat_best
+            stat_best = jnp.where(upd_stall,
+                                  jnp.minimum(stat_t, c.stat_best), c.stat_best)
+            stall = jnp.where(upd_stall,
+                              jnp.where(improved, 0, c.stall + 1), c.stall)
+            if p.stall_its is not None:
+                status = jnp.where((status == RUNNING) & (stall >= p.stall_its),
+                                   STALLED, status)
+
             # ---------------- carry updates
             form = step_go | acc_go          # a fresh step was installed this round
             advance = form | (cont & fin)    # candidate moves to u_eval + du_t
@@ -668,7 +700,8 @@ class DGSQP:
             new = _FlatCarry(u_out, l_out, it_new, status.astype(jnp.int32), rel_its,
                              qp_solves, p_feas_n, comp_n, stat_n, mode, t_n,
                              u_cur, l_cur, s_pred, u_prev, l_prev,
-                             u_k, du_k, l_k, dl_k, s_k, ds_k, mu_n, phi_k, dphi_k)
+                             u_k, du_k, l_k, dl_k, s_k, ds_k, mu_n, phi_k, dphi_k,
+                             stat_best, stall)
             # frozen games keep their state verbatim
             return jax.tree_util.tree_map(
                 lambda n, o: jnp.where(running, n, o), new, c)
@@ -689,7 +722,8 @@ class DGSQP:
                           u_prev=u0, l_prev=l0,
                           u_k=u0, du_k=jnp.zeros_like(u0), l_k=l0, dl_k=jnp.zeros_like(l0),
                           s_k=jnp.zeros(self.n_c, dtype), ds_k=jnp.zeros(self.n_c, dtype),
-                          mu=z, phi_k=z, dphi_k=z)
+                          mu=z, phi_k=z, dphi_k=z,
+                          stat_best=jnp.asarray(jnp.inf, dtype), stall=jnp.asarray(0))
 
     def _solve_core_flat(self, u0, l0, x0, up, P=None) -> SQPResult:
         body = self._make_round_body(x0, up, P)
@@ -722,6 +756,7 @@ class DGSQP:
                       rel_its=jnp.asarray(0), qp_solves=jnp.asarray(0),
                       p_feas=jnp.asarray(jnp.inf, dtype), comp=jnp.asarray(jnp.inf, dtype),
                       stat=jnp.asarray(jnp.inf, dtype),
+                      stat_best=jnp.asarray(jnp.inf, dtype), stall=jnp.asarray(0),
                       B=B0, B_u=jnp.asarray(u0, dtype) if use_bfgs else jnp.zeros((0,), dtype))
         return init
 

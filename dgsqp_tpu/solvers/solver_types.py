@@ -95,6 +95,10 @@ class DGSQPParams(ControllerConfig):
     # stops with status 'time_limit' (not converged).  None = unlimited.  In batched
     # lockstep execution this bounds how long pathological stragglers can hold the batch.
     qp_solves_limit: Optional[int] = None
+    # stagnation escape: terminate a game as 'stalled' after this many consecutive
+    # iterations without a 1% stationarity improvement (None = off).  Deterministic
+    # analog of the reference's wall-clock time_limit for plateaued instances.
+    stall_its: Optional[int] = None
     # PDAS polish iterations in the QP kernel (each is a QR-factored KKT solve)
     qp_polish_iters: int = 4
     # Hessian PSD projection: 'eigh' = exact eigenvalue clipping (reference semantics);

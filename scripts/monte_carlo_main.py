@@ -54,7 +54,13 @@ def main():
                          'output pickle already exists')
     args = ap.parse_args()
 
+    import os
     import jax
+    if os.environ.get('DGSQP_PLATFORM'):
+        # the axon TPU plugin overrides JAX_PLATFORMS/JAX_PLATFORM_NAME; only a config
+        # update after import reliably pins the platform (DGSQP_PLATFORM=cpu for a
+        # CPU-mesh run without claiming the TPU tunnel)
+        jax.config.update('jax_platforms', os.environ['DGSQP_PLATFORM'])
     jax.config.update('jax_default_matmul_precision', 'highest')
 
     from dgsqp_tpu.harness.mc_study import run_mc_study, analyze_results, save_results

@@ -336,6 +336,60 @@ def test_flat_compaction_spmd_matches_single_device():
     assert hist_spmd[0]['batch'] == B == hist_1dev[0]['batch']
 
 
+def test_stall_escape_terminates_plateaued_games():
+    """stall_its ends games whose stationarity has plateaued (status 'stalled') long
+    before the iteration budget, in both the nested and flat execution paths; games
+    that converge normally are untouched."""
+    from dgsqp_tpu.solvers.dgsqp import STALLED
+
+    def build(execution, stall_its, infeasible):
+        m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+        m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+        joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+        def stage(x, u, um):
+            return 0.5 * u[0] ** 2
+
+        def term_0(x):
+            return 0.5 * (x[0] - 1.0) ** 2 + 0.2 * jnp.tanh(x[0] * x[1])
+
+        def term_1(x):
+            return 0.5 * (x[1] - 1.0) ** 2 + 0.2 * jnp.tanh(x[0] * x[1])
+
+        shared = None
+        if infeasible:
+            # x0+x1 <= 1 AND x0+x1 >= 1.5: no feasible point => p_feas plateaus and
+            # the game can never converge — the stall signature of a GNE-less instance
+            def sh(x, u, um):
+                return jnp.array([x[0] + x[1] - 1.0, 1.5 - x[0] - x[1]])
+            shared = [None] + [sh] * (N - 1) + [None]
+
+        ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 50.0
+        lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -50.0
+        params = DGSQPParams(N=N, dt=DT, reg=1e-3, p_tol=1e-8, d_tol=1e-8,
+                             sqp_iters=200, nonmono_ls=True, beta=0.01, tau=0.5,
+                             execution=execution, stall_its=stall_its)
+        return DGSQP(joint, [(stage, term_0), (stage, term_1)], [None, None], shared,
+                     {'ub': [ub, ub], 'lb': [lb, lb]}, params, print_method=None)
+
+    # infeasible game => the KKT residuals plateau and the escape fires
+    for execution in ('nested', 'flat'):
+        solver = build(execution, stall_its=5, infeasible=True)
+        res = jax.jit(solver._solve_core)(jnp.zeros(solver.n_dec),
+                                          jnp.zeros(solver.n_c),
+                                          jnp.asarray([0.0, 0.0]),
+                                          jnp.zeros(solver.n_u), None)
+        assert int(res.status) == STALLED, (execution, int(res.status))
+        assert int(res.iters) < 60
+
+    # a normally-converging game is unaffected by the escape
+    solver = build('flat', stall_its=5, infeasible=False)
+    res = jax.jit(solver._solve_core)(jnp.zeros(solver.n_dec), jnp.zeros(solver.n_c),
+                                      jnp.asarray([0.0, 0.0]), jnp.zeros(solver.n_u),
+                                      None)
+    assert int(res.status) in (CONV_ABS, CONV_REL)
+
+
 def test_chunked_driver_compacts_spmd_batches():
     """run_chunked_compacted with mesh-sharded inputs: staggered finishers shrink the
     live bucket (in mesh-size multiples) and every game's payload is harvested back to
