@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from dgsqp_tpu.solvers.dgsqp import RUNNING, CONV_ABS, CONV_REL, DIVERGED, QP_FAIL, MAX_IT, \
-    STATUS_MSG, SQPResult
+    STALLED, STATUS_MSG, SQPResult
 from dgsqp_tpu.solvers.game_problem import GameProblem
 from dgsqp_tpu.solvers.qp import solve_qp
 from dgsqp_tpu.solvers.solver_types import DGSQPV2Params
@@ -66,6 +66,8 @@ class _CarryV2(NamedTuple):
     p_feas: jnp.ndarray
     comp: jnp.ndarray
     stat: jnp.ndarray
+    stat_best: jnp.ndarray   # best stationarity seen (stagnation escape)
+    stall: jnp.ndarray       # consecutive m-iterations without 1% improvement
 
 
 class DGSQPV2:
@@ -377,11 +379,22 @@ class DGSQPV2:
             it = c.it + jnp.where(keep_going, 1, 0)
             qp_solves = c.qp_solves + jnp.where(keep_going, 1, 0)
 
+            # stagnation escape (deterministic time_limit analog; see DGSQP v1)
+            improved = stat < 0.99 * c.stat_best
+            stat_best = jnp.where(keep_going, jnp.minimum(stat, c.stat_best),
+                                  c.stat_best)
+            stall = jnp.where(keep_going, jnp.where(improved, 0, c.stall + 1), c.stall)
+            if p.stall_its is not None:
+                is_stalled = stall >= p.stall_its
+            else:
+                is_stalled = jnp.asarray(False)
+
             new_status = jnp.where(converged, CONV_ABS,
                           jnp.where(diverged, DIVERGED,
                            jnp.where(max_it, MAX_IT,
                             jnp.where(hard_qp_fail, QP_FAIL,
-                             jnp.where(conv_rel, CONV_REL, RUNNING)))))
+                             jnp.where(conv_rel, CONV_REL,
+                              jnp.where(is_stalled, STALLED, RUNNING))))))
             status = jnp.where(running, new_status, c.status).astype(jnp.int32)
 
             return _CarryV2(u_n, l_n, u_im1, l_im1, it, m_it, status,
@@ -390,7 +403,8 @@ class DGSQPV2:
                             ck_valid, memory, mem_ptr,
                             jnp.where(running, p_feas, c.p_feas),
                             jnp.where(running, comp, c.comp),
-                            jnp.where(running, stat, c.stat))
+                            jnp.where(running, stat, c.stat),
+                            stat_best, stall)
 
         return body
 
@@ -430,7 +444,9 @@ class DGSQPV2:
                         memory=memory0, mem_ptr=jnp.asarray(0),
                         p_feas=jnp.asarray(jnp.inf, dtype),
                         comp=jnp.asarray(jnp.inf, dtype),
-                        stat=jnp.asarray(jnp.inf, dtype))
+                        stat=jnp.asarray(jnp.inf, dtype),
+                        stat_best=jnp.asarray(jnp.inf, dtype),
+                        stall=jnp.asarray(0))
         return init
 
     def _finalize(self, c: _CarryV2, x0, up, P=None) -> SQPResult:
