@@ -313,19 +313,71 @@ class EqQPSolution(NamedTuple):
     res: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=('max_iters',))
-def solve_eq_qp(Q, q, A, b, E, d, tol: float = 1e-8, max_iters: int = 50) -> EqQPSolution:
+@partial(jax.jit, static_argnames=('max_iters', 'scale'))
+def solve_eq_qp(Q, q, A, b, E, d, tol: float = 1e-8, max_iters: int = 50,
+                scale: bool = True) -> EqQPSolution:
     """Solve  min 1/2 x'Qx + q'x  s.t.  Ex = d,  Ax <= b.
 
     Same Mehrotra IPM as :func:`solve_qp` with the equality block handled by a Schur
     complement on the reduced normal matrix (two Cholesky factorizations per iteration).
     Used by the LTV-MPC subproblems whose linearized dynamics are equality constraints
     (reference ``CA_LTV_MPC.py:554-634`` solves the same structure through OSQP/HPIPM).
+    With ``scale=True`` the data is Ruiz-equilibrated first (column scaling from the
+    [Q; A; E] stack, separate row scalings for A and E) and the solution/duals are
+    unscaled on return — the float32 conditioning treatment the inequality kernel gets.
     """
     n = q.shape[-1]
     m = b.shape[-1]
     me = d.shape[-1]
     dtype = q.dtype
+
+    if scale:
+        # column scaling from the stacked constraint/cost data + per-row scalings
+        d_x = jnp.ones(n, dtype)
+        e_a = jnp.ones(m, dtype)
+        e_e = jnp.ones(me, dtype)
+        for _ in range(3):
+            Qs = Q * d_x[:, None] * d_x[None, :]
+            As = A * e_a[:, None] * d_x[None, :]
+            Es = E * e_e[:, None] * d_x[None, :]
+            col = jnp.max(jnp.abs(Qs), axis=0)
+            if m:
+                col = jnp.maximum(col, jnp.max(jnp.abs(As), axis=0))
+            if me:
+                col = jnp.maximum(col, jnp.max(jnp.abs(Es), axis=0))
+            d_x = d_x / jnp.sqrt(jnp.maximum(col, 1e-8))
+            if m:
+                As = A * e_a[:, None] * d_x[None, :]
+                rn = jnp.max(jnp.abs(As), axis=1)
+                e_a = e_a / jnp.where(rn == 0, 1.0, jnp.sqrt(jnp.maximum(rn, 1e-8)))
+            if me:
+                Es = E * e_e[:, None] * d_x[None, :]
+                rn = jnp.max(jnp.abs(Es), axis=1)
+                e_e = e_e / jnp.where(rn == 0, 1.0, jnp.sqrt(jnp.maximum(rn, 1e-8)))
+        d_x = jnp.clip(d_x, 1e-6, 1e6)
+        e_a = jnp.clip(e_a, 1e-6, 1e6)
+        e_e = jnp.clip(e_e, 1e-6, 1e6)
+        inner = solve_eq_qp(Q * d_x[:, None] * d_x[None, :], q * d_x,
+                            A * e_a[:, None] * d_x[None, :], b * e_a,
+                            E * e_e[:, None] * d_x[None, :], d * e_e,
+                            tol, max_iters, scale=False)
+        x = inner.x * d_x
+        lam = inner.lam * e_a
+        nu = inner.nu * e_e
+        # re-certify on the ORIGINAL data
+        r_d = Q @ x + q + A.T @ lam + E.T @ nu
+        r_p = jnp.maximum(A @ x - b, 0.0) if m else jnp.zeros(0, dtype)
+        r_e = E @ x - d
+        comp = jnp.abs(lam * (A @ x - b)) if m else jnp.zeros(0, dtype)
+        res = jnp.maximum(jnp.max(jnp.abs(r_d)),
+                          jnp.maximum(jnp.max(r_p, initial=0.0),
+                                      jnp.maximum(jnp.max(jnp.abs(r_e), initial=0.0),
+                                                  jnp.max(comp, initial=0.0))))
+        sc = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)),
+                               jnp.maximum(jnp.max(jnp.abs(b), initial=0.0),
+                                           jnp.max(jnp.abs(d), initial=0.0)))
+        ok = (res < 1e4 * tol * sc) & jnp.isfinite(res)
+        return EqQPSolution(x, lam, nu, ok, inner.iters, res)
 
     def residuals(x, lam, nu, t):
         r_d = Q @ x + q + A.T @ lam + E.T @ nu
