@@ -1,0 +1,23 @@
+#!/bin/bash
+# One-shot bench sweep on the real TPU: stagnation-escape and chunk-size knobs.
+# Usage: bash scripts/bench_sweep.sh [out_file]
+# Each line of the output: the env config followed by bench.py's JSON.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-results/bench_sweep.jsonl}
+mkdir -p "$(dirname "$OUT")"
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}
+
+run() {
+  local desc="$1"; shift
+  echo "# $desc" >&2
+  local json
+  json=$(env "$@" timeout 580 python bench.py 2>>"$OUT.stderr")
+  echo "{\"config\": \"$desc\", \"bench\": ${json:-null}}" | tee -a "$OUT"
+}
+
+run "baseline chunk8"      DGSQP_BENCH_CHUNK=8
+run "stall15 chunk8"       DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15
+run "stall10 chunk8"       DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=10
+run "stall15 chunk16"      DGSQP_BENCH_CHUNK=16 DGSQP_BENCH_STALL=15
+run "stall15 chunk4"       DGSQP_BENCH_CHUNK=4  DGSQP_BENCH_STALL=15
