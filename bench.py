@@ -104,6 +104,7 @@ def main():
         'vs_baseline': round(solves_per_s / target_per_chip, 3),
         'convergence_rate': round(float(conv), 4),
         'convergence_rate_incl_rel': round(float(conv_any), 4),
+        'status_counts': hist,
         'batch': batch,
         'horizon': horizon,
         'solver': solver_name,
