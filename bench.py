@@ -28,6 +28,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get('DGSQP_PLATFORM'):
+        # CPU smoke runs: the axon plugin overrides JAX_PLATFORMS env selection, so the
+        # platform pin must happen via config update after import
+        jax.config.update('jax_platforms', os.environ['DGSQP_PLATFORM'])
     # TPU MXU matmuls default to bfloat16 inputs; the SQP's Jacobians/Hessians/KKT solves
     # need full f32 accumulation or the merit machinery sees ~1e-2 noise.
     jax.config.update('jax_default_matmul_precision', 'highest')
