@@ -101,6 +101,8 @@ class _FlatCarry(NamedTuple):
     dphi_k: jnp.ndarray
     stat_best: jnp.ndarray  # best stationarity seen (stagnation escape)
     stall: jnp.ndarray      # consecutive iterations without 1% stat improvement
+    qp_lam: jnp.ndarray     # previous round's QP duals/slacks (IPM warm start)
+    qp_t: jnp.ndarray
 
 
 def _merit_phi(l, s, q, G, g, mu, use_l1: bool):
@@ -191,12 +193,13 @@ class DGSQP:
         q, G, g, _ = self.problem.evaluate(u, l, x0, up, P, hessian=False)
         return q, G, g
 
-    def _qp(self, Q, q, G, g):
+    def _qp(self, Q, q, G, g, warm=None):
         Qh = regularized_convexification(Q, self.params.reg,
                                          method=getattr(self.params, 'conv_method', 'eigh'))
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol,
                        max_iters=self.params.qp_max_iters,
-                       polish_iters=getattr(self.params, 'qp_polish_iters', 4))
+                       polish_iters=getattr(self.params, 'qp_polish_iters', 4),
+                       warm=warm)
         # The reference takes whatever step its QP backend returns — it sets
         # error_on_fail=False and never inspects the OSQP return status, so 'qp_fail'
         # only fires on an exception (DGSQP.py:186,244-266).  Match that: reject the
@@ -204,7 +207,7 @@ class DGSQP:
         # misses; the globalization machinery absorbs sloppy steps exactly as it does
         # for loose OSQP (eps 1e-3) solutions.
         finite = jnp.isfinite(sol.x).all() & jnp.isfinite(sol.lam).all()
-        return sol.x, sol.lam, finite
+        return sol.x, sol.lam, finite, sol.t
 
     def _line_search(self, enabled, u, du, l, dl, s, ds, Q, q, G, g, mu, x0, up, P):
         """Armijo backtracking (reference ``_line_search_3``, ``DGSQP.py:1057-1081``).
@@ -301,7 +304,7 @@ class DGSQP:
             # --- one QP at the point the next phase needs
             # mode 0 (continuing): QP at u_cur to take the next relaxed step
             # mode 2/3: QP at u_cur for the insurance line searches
-            du_t, lhat_t, qp_ok = self._qp(Q_t, q_t, G_t, g_t)
+            du_t, lhat_t, qp_ok, _ = self._qp(Q_t, q_t, G_t, g_t)
             dl_t = lhat_t - c.l_cur
             s_t = jnp.minimum(0.0, g_t)
             ds_t = g_t + G_t @ du_t - s_t
@@ -438,7 +441,7 @@ class DGSQP:
             converged = (p_feas < xtol) & (comp < ltol) & (stat < ltol)
             keep_going = running & ~diverged & ~converged
 
-            du, lhat, qp_ok = self._qp(Q, q, G, g)
+            du, lhat, qp_ok, _ = self._qp(Q, q, G, g)
             dl = lhat - c.l
             s = jnp.minimum(0.0, g)
             ds = g + G @ du - s
@@ -552,7 +555,8 @@ class DGSQP:
                 else jnp.asarray(0.0, dtype)
             stat_t = jnp.max(jnp.abs(d_t))
 
-            du_t, lhat_t, fin = self._qp(Q_t, q_t, G_t, g_t)
+            warm = (c.qp_lam, c.qp_t) if p.qp_warm_start else None
+            du_t, lhat_t, fin, qp_t_out = self._qp(Q_t, q_t, G_t, g_t, warm=warm)
             dl_t = lhat_t - l_eval
             s_t = jnp.minimum(0.0, g_t)
             ds_t = g_t + G_t @ du_t - s_t
@@ -701,7 +705,7 @@ class DGSQP:
                              qp_solves, p_feas_n, comp_n, stat_n, mode, t_n,
                              u_cur, l_cur, s_pred, u_prev, l_prev,
                              u_k, du_k, l_k, dl_k, s_k, ds_k, mu_n, phi_k, dphi_k,
-                             stat_best, stall)
+                             stat_best, stall, lhat_t, qp_t_out)
             # frozen games keep their state verbatim
             return jax.tree_util.tree_map(
                 lambda n, o: jnp.where(running, n, o), new, c)
@@ -723,7 +727,9 @@ class DGSQP:
                           u_k=u0, du_k=jnp.zeros_like(u0), l_k=l0, dl_k=jnp.zeros_like(l0),
                           s_k=jnp.zeros(self.n_c, dtype), ds_k=jnp.zeros(self.n_c, dtype),
                           mu=z, phi_k=z, dphi_k=z,
-                          stat_best=jnp.asarray(jnp.inf, dtype), stall=jnp.asarray(0))
+                          stat_best=jnp.asarray(jnp.inf, dtype), stall=jnp.asarray(0),
+                          qp_lam=jnp.ones(self.n_c, dtype),
+                          qp_t=jnp.ones(self.n_c, dtype))
 
     def _solve_core_flat(self, u0, l0, x0, up, P=None) -> SQPResult:
         body = self._make_round_body(x0, up, P)

@@ -88,13 +88,18 @@ def _ruiz_equilibrate(Q, A, iters: int = 3):
 
 @partial(jax.jit, static_argnames=('max_iters', 'scale', 'polish_iters'))
 def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
-             scale: bool = True, polish_iters: int = 4) -> QPSolution:
+             scale: bool = True, polish_iters: int = 4, warm=None) -> QPSolution:
     """Solve one QP instance.  ``vmap`` over leading axes of (Q, q, A, b) for batches.
 
     ``Q`` must be symmetric positive definite (the SQP layer guarantees this via
     ``regularized_convexification`` — the reference's ``_nearestPD`` + reg*I treatment,
     ``DGSQP.py:232-239``).  With ``scale=True`` the problem is Ruiz-equilibrated first and
     the solution/duals unscaled on return.
+
+    ``warm``: optional ``(lam0, t0)`` pair — e.g. the previous SQP iteration's QP duals
+    and slacks.  They are shifted toward the central path (Gondzio-style
+    ``max(., delta)``) so warm starts stay strictly interior; SQP subproblems change
+    slowly between iterations, so this typically saves half the IPM iterations.
     """
     n = q.shape[-1]
     m = b.shape[-1]
@@ -125,8 +130,9 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         As = A * e_r[:, None] * d_x[None, :]
         qs = q * d_x
         bs = b * e_r
+        warm_s = None if warm is None else (warm[0] / e_r, warm[1] * e_r)
         inner = solve_qp(Qs, qs, As, bs, tol, max_iters, scale=False,
-                         polish_iters=polish_iters)
+                         polish_iters=polish_iters, warm=warm_s)
         x = inner.x * d_x
         lam = inner.lam * e_r
         # re-certify on the ORIGINAL data (the scaled residual is not the true one)
@@ -199,9 +205,15 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         return (~st.done) & (st.it < max_iters)
 
     x0 = jnp.zeros(n, dtype)
-    # infeasible-but-interior start: slacks/duals at unit scale relative to b
-    t0 = jnp.maximum(1.0, jnp.abs(b))
-    lam0 = jnp.ones(m, dtype)
+    if warm is not None:
+        # central-path shift keeps the warm point strictly interior
+        delta_w = jnp.asarray(0.1, dtype)
+        lam0 = jnp.maximum(warm[0], delta_w)
+        t0 = jnp.maximum(warm[1], delta_w)
+    else:
+        # infeasible-but-interior start: slacks/duals at unit scale relative to b
+        t0 = jnp.maximum(1.0, jnp.abs(b))
+        lam0 = jnp.ones(m, dtype)
     st0 = _IPMState(x0, lam0, t0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(jnp.inf, dtype))
     st = jax.lax.while_loop(cond, body, st0)
 

@@ -99,6 +99,10 @@ class DGSQPParams(ControllerConfig):
     # iterations without a 1% stationarity improvement (None = off).  Deterministic
     # analog of the reference's wall-clock time_limit for plateaued instances.
     stall_its: Optional[int] = None
+    # IPM warm start across SQP rounds (flat execution only): seed each round's QP
+    # with the previous round's duals/slacks, shifted to the central path.  SQP
+    # subproblems change slowly, so this typically saves ~half the IPM iterations.
+    qp_warm_start: bool = False
     # PDAS polish iterations in the QP kernel (each is a QR-factored KKT solve)
     qp_polish_iters: int = 4
     # Hessian PSD projection: 'eigh' = exact eigenvalue clipping (reference semantics);

@@ -390,6 +390,42 @@ def test_stall_escape_terminates_plateaued_games():
     assert int(res.status) in (CONV_ABS, CONV_REL)
 
 
+def test_qp_warm_start_reaches_same_equilibrium():
+    """qp_warm_start=True (cross-round IPM warm start) must land on the same KKT point
+    as cold starts — the QP solutions are identical to solver tolerance, only the IPM
+    iteration counts differ."""
+    results = {}
+    for ws in (False, True):
+        m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+        m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+        joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+        def stage(x, u, um):
+            return 0.5 * u[0] ** 2
+
+        def term_0(x):
+            return 0.5 * 100.0 * (x[0] - 1.0) ** 2 + 0.5 * jnp.tanh(x[0] - x[1])
+
+        def term_1(x):
+            return 0.5 * 100.0 * (x[1] - 1.0) ** 2 + 0.5 * jnp.tanh(x[1] - x[0])
+
+        ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+        lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+        params = DGSQPParams(N=N, dt=DT, reg=1e-3, p_tol=1e-8, d_tol=1e-8,
+                             sqp_iters=50, nonmono_ls=True, beta=0.01, tau=0.5,
+                             qp_warm_start=ws)
+        solver = DGSQP(joint, [(stage, term_0), (stage, term_1)], [None, None], None,
+                       {'ub': [ub, ub], 'lb': [lb, lb]}, params, print_method=None)
+        assert solver._use_flat()
+        res = jax.jit(solver._solve_core)(jnp.zeros(solver.n_dec),
+                                          jnp.zeros(solver.n_c),
+                                          jnp.asarray([-1.5, 0.8]),
+                                          jnp.zeros(solver.n_u), None)
+        assert int(res.status) in (CONV_ABS, CONV_REL), (ws, int(res.status))
+        results[ws] = np.asarray(res.u)
+    np.testing.assert_allclose(results[True], results[False], atol=1e-5)
+
+
 def test_chunked_driver_compacts_spmd_batches():
     """run_chunked_compacted with mesh-sharded inputs: staggered finishers shrink the
     live bucket (in mesh-size multiples) and every game's payload is harvested back to
