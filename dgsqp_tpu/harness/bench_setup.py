@@ -51,7 +51,9 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                              # before terminating as 'stalled'; 0 = off)
                              stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 0)) or None,
                              # cross-round IPM warm start (flat execution)
-                             qp_warm_start=os.environ.get('DGSQP_BENCH_QP_WS', '0') == '1')
+                             qp_warm_start=os.environ.get('DGSQP_BENCH_QP_WS', '0') == '1',
+                             # 'ad' (fwd-over-rev sweep) or 'dp' (stagewise GEMM assembly)
+                             hessian_mode=os.environ.get('DGSQP_BENCH_HESS', 'ad'))
         solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,
                        sc.shared_constraints, sc.bounds, params, print_method=None)
     return sc, solver

@@ -187,6 +187,8 @@ class DGSQP:
 
     # ------------------------------------------------------------------ pieces
     def _eval_full(self, u, l, x0, up, P):
+        if getattr(self.params, 'hessian_mode', 'ad') == 'dp':
+            return self.problem.evaluate_dp(u, l, x0, up, P, hessian=True)
         return self.problem.evaluate(u, l, x0, up, P, hessian=True)
 
     def _eval_lite(self, u, l, x0, up, P):

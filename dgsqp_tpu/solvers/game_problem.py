@@ -518,6 +518,276 @@ class GameProblem:
             for a in range(self.M)], axis=0)
         return Q, q, G, g, x
 
+    # --------------------------------------- DP (stagewise-GEMM) condensed evaluation
+    def _dp_plan(self):
+        """Constant structures for :meth:`evaluate_dp`: input selectors S_k = du_k/du
+        (and the um shift), embedding index maps per group type, and the constant
+        input-box rows of G (linear in u, so fixed)."""
+        if hasattr(self, '_dp_sel'):
+            return self._dp_sel
+        N, M, nq, nu, nd = self.N, self.M, self.n_q, self.n_u, self.n_dec
+        S = np.zeros((N, nu, nd))
+        for a in range(M):
+            da = self.num_ua_d[a]
+            for k in range(N):
+                for d in range(da):
+                    S[k, self.u_offsets[a] + d,
+                      self.ua_el_offsets[a] + k * da + d] = 1.0
+        Sm = np.zeros_like(S)
+        Sm[1:] = S[:-1]
+
+        # constant input-box G rows
+        G0 = np.zeros((self.n_c_total, nd))
+        for a in range(M):
+            da = self.num_ua_d[a]
+            Sa = S[:, self.u_offsets[a]:self.u_offsets[a] + da, :]
+            if self._iub_dest[a] is not None:
+                idx = self.input_ub_idxs[a]
+                G0[np.asarray(self._iub_dest[a]).reshape(-1)] = \
+                    Sa[:, idx, :].reshape(-1, nd)
+            if self._ilb_dest[a] is not None:
+                idx = self.input_lb_idxs[a]
+                G0[np.asarray(self._ilb_dest[a]).reshape(-1)] = \
+                    -Sa[:, idx, :].reshape(-1, nd)
+        self._dp_sel = (jnp.asarray(S, self.dtype), jnp.asarray(Sm, self.dtype),
+                        jnp.asarray(G0, self.dtype))
+        return self._dp_sel
+
+    def evaluate_dp(self, u_flat, l, x0, u_prev, P=None, hessian: bool = True):
+        """Stage-structured (DP) evaluation: same outputs as :meth:`evaluate`
+        ``(Q, q, G, g, x)``, assembled from per-stage derivatives and the forward
+        sensitivity map ``X_k = dx_k/du`` instead of whole-trajectory AD sweeps.
+
+        This is the reference's own structure — CasADi DP recursions for the cost and
+        constraint Hessians (``DGSQP.py:679-727,829-877``) and the lower-triangular
+        chain-rule map ``Du_x`` (``:642-650``) — recast TPU-first: every stage quantity
+        is a small vmapped AD call (stage-cost/constraint Jacobians+Hessians, dynamics
+        second derivatives shared across the M+1 scalars), and all horizon coupling is
+        batched GEMMs against the (N, n_q, n_dec) sensitivity stack — MXU work instead
+        of n_dec sequential AD tangents.  Selected by ``DGSQPParams.hessian_mode='dp'``.
+        """
+        N, M = self.N, self.M
+        nq, nu, nd = self.n_q, self.n_u, self.n_dec
+        L = nq + 2 * nu                       # lifted joint stage coords (x, u, um)
+        dtype = x0.dtype
+        jd = self.joint_dynamics
+        u_mat = self.u_to_stage(u_flat)
+        um_mat = jnp.concatenate([u_prev[None], u_mat[:-1]], axis=0)
+        ua = [self.agent_u_block(u_flat, a).reshape(N, self.num_ua_d[a])
+              for a in range(M)]
+        uma = [jnp.concatenate([u_prev[self.u_offsets[a]:self.u_offsets[a + 1]][None],
+                                ua[a][:-1]], axis=0) for a in range(M)]
+        x = self.rollout(u_flat, x0)
+        S, Sm, G0 = self._dp_plan()
+
+        A = jax.vmap(lambda q_, u_: jax.jacfwd(jd.fd, argnums=0)(q_, u_))(x[:-1], u_mat)
+        B = jax.vmap(lambda q_, u_: jax.jacfwd(jd.fd, argnums=1)(q_, u_))(x[:-1], u_mat)
+
+        def fstep(Xk, blk):
+            A_k, B_k, S_k = blk
+            Xn = A_k @ Xk + B_k @ S_k
+            return Xn, Xn
+
+        _, Xs = jax.lax.scan(fstep, jnp.zeros((nq, nd), dtype), (A, B, S))
+        X = jnp.concatenate([jnp.zeros((1, nq, nd), dtype), Xs], axis=0)  # (N+1,nq,nd)
+
+        g = self._constraints_along(x, u_flat, u_prev, P)
+
+        G = G0
+        grads = jnp.zeros((M, nd), dtype)          # full cost gradients dJ^a/du
+        cx = jnp.zeros((M + 1, N, nq), dtype)      # stage x-gradients (adjoint sources)
+        cNx = jnp.zeros((M + 1, nq), dtype)        # terminal x-gradients
+        W = jnp.zeros((M + 1, N, L, L), dtype)     # lifted stage Hessians per sigma
+        WN = jnp.zeros((M + 1, nq, nq), dtype)     # terminal Hessians
+
+        def lifted(fn, du_dim):
+            def s(z, Pp, k):
+                return jnp.atleast_1d(_call_stage(fn, z[:nq], z[nq:nq + du_dim],
+                                                  z[nq + du_dim:], Pp, k))
+            return s
+
+        def group_JH(fn, du_dim, zs, ks, w=None, want_h=True):
+            """Per-stage lifted Jacobians (K, m, nq+2du) and, if want_h, Hessians of the
+            w-weighted scalar (K, Lg, Lg)."""
+            s = lifted(fn, du_dim)
+
+            def one(z, k, wk):
+                J = jax.jacfwd(lambda zz: s(zz, P, k))(z)
+                if want_h:
+                    H = jax.hessian(lambda zz: jnp.dot(wk, s(zz, P, k)))(z)
+                else:
+                    H = jnp.zeros((z.size, z.size), dtype)
+                return J, H
+
+            if w is None:
+                w = jnp.ones((ks.shape[0], 1), dtype)
+            return jax.vmap(one)(zs, ks, w)
+
+        def embed_cols(rows_x, rows_u, rows_m, Zu, Zum, ks):
+            """Chain-rule a (K, m, local) stage Jacobian into u_flat columns."""
+            return (jnp.einsum('kmi,kid->kmd', rows_x, X[ks])
+                    + jnp.einsum('kmi,kid->kmd', rows_u, Zu)
+                    + jnp.einsum('kmi,kid->kmd', rows_m, Zum))
+
+        # ---- per-agent costs (sigma = a): gradients, cx, stage Hessians
+        for a in range(M):
+            da = self.num_ua_d[a]
+            Sa = S[:, self.u_offsets[a]:self.u_offsets[a] + da, :]
+            Sma = Sm[:, self.u_offsets[a]:self.u_offsets[a] + da, :]
+            # embedding of the (x, ua, uma) lifted coords into the joint (x, u, um)
+            eidx = np.concatenate([np.arange(nq),
+                                   nq + self.u_offsets[a] + np.arange(da),
+                                   nq + nu + self.u_offsets[a] + np.arange(da)])
+            for fn, ks in self._cost_groups[a]:
+                ks_j = jnp.asarray(ks)
+                zs = jnp.concatenate([x[ks], ua[a][ks], uma[a][ks]], axis=1)
+                J, H = group_JH(fn, da, zs, ks_j, want_h=hessian)
+                Jx, Ju, Jm = J[:, :, :nq], J[:, :, nq:nq + da], J[:, :, nq + da:]
+                rows = embed_cols(Jx, Ju, Jm, Sa[ks_j], Sma[ks_j], ks_j)  # (K,1,nd)
+                grads = grads.at[a].add(jnp.sum(rows[:, 0, :], axis=0))
+                cx = cx.at[a, ks_j].add(Jx[:, 0, :])
+                if hessian:
+                    W = W.at[a, ks_j[:, None, None], eidx[None, :, None],
+                             eidx[None, None, :]].add(H)
+            if self.costs[a][N] is not None:
+                fnN = self.costs[a][N]
+                JN = jax.jacfwd(lambda xx: _call_term(fnN, xx, P, N))(x[N])
+                grads = grads.at[a].add(JN @ X[N])
+                cNx = cNx.at[a].add(JN)
+                if hessian:
+                    WN = WN.at[a].add(jax.hessian(
+                        lambda xx: _call_term(fnN, xx, P, N))(x[N]))
+
+        # ---- constraints (sigma = M, weighted by l): G rows, cx, stage Hessians
+        def constraint_group(fn, ks, dest, du_dim, Zu_all, Zum_all, zs):
+            ks_j = jnp.asarray(ks)
+            w = l[jnp.asarray(dest)]                                   # (K, m)
+            J, H = group_JH(fn, du_dim, zs, ks_j, w=w, want_h=hessian)
+            Jx = J[:, :, :nq]
+            Ju = J[:, :, nq:nq + du_dim]
+            Jm = J[:, :, nq + du_dim:]
+            rows = embed_cols(Jx, Ju, Jm, Zu_all[ks_j], Zum_all[ks_j], ks_j)
+            return ks_j, Jx, H, rows, w
+
+        for fn, ks, dest in self._shared_groups:
+            zs = jnp.concatenate([x[np.asarray(ks)], u_mat[np.asarray(ks)],
+                                  um_mat[np.asarray(ks)]], axis=1)
+            ks_j, Jx, H, rows, w = constraint_group(fn, np.asarray(ks), dest, nu,
+                                                    S, Sm, zs)
+            G = G.at[jnp.asarray(dest).reshape(-1)].set(rows.reshape(-1, nd))
+            cx = cx.at[M, ks_j].add(jnp.einsum('km,kmi->ki', w, Jx))
+            if hessian:
+                W = W.at[M, ks_j].add(H)
+
+        for a in range(M):
+            da = self.num_ua_d[a]
+            Sa = S[:, self.u_offsets[a]:self.u_offsets[a] + da, :]
+            Sma = Sm[:, self.u_offsets[a]:self.u_offsets[a] + da, :]
+            eidx = np.concatenate([np.arange(nq),
+                                   nq + self.u_offsets[a] + np.arange(da),
+                                   nq + nu + self.u_offsets[a] + np.arange(da)])
+            for fn, ks, dest in self._agent_groups[a]:
+                zs = jnp.concatenate([x[np.asarray(ks)], ua[a][np.asarray(ks)],
+                                      uma[a][np.asarray(ks)]], axis=1)
+                ks_j, Jx, H, rows, w = constraint_group(fn, np.asarray(ks), dest, da,
+                                                        Sa, Sma, zs)
+                G = G.at[jnp.asarray(dest).reshape(-1)].set(rows.reshape(-1, nd))
+                cx = cx.at[M, ks_j].add(jnp.einsum('km,kmi->ki', w, Jx))
+                if hessian:
+                    W = W.at[M, ks_j[:, None, None], eidx[None, :, None],
+                             eidx[None, None, :]].add(H)
+
+            # state-box rows: G rows are +/- X rows; adjoint picks up +/- l
+            qo = self.q_offsets[a]
+            if self._sub_dest[a] is not None:
+                idx = self.state_ub_idxs[a] + qo
+                dest = self._sub_dest[a]                       # stages 1..N-1 then N
+                stages = np.array(list(range(1, N)) + [N])
+                rows = X[jnp.asarray(stages)][:, idx, :]
+                G = G.at[dest.reshape(-1)].set(rows.reshape(-1, nd))
+                lw = l[dest]                                    # (len(stages), m)
+                cx = cx.at[M, jnp.asarray(stages[:-1])].add(
+                    jnp.zeros((stages.size - 1, nq), dtype).at[:, idx].add(lw[:-1]))
+                cNx = cNx.at[M].add(jnp.zeros(nq, dtype).at[idx].add(lw[-1]))
+            if self._slb_dest[a] is not None:
+                idx = self.state_lb_idxs[a] + qo
+                dest = self._slb_dest[a]
+                stages = np.array(list(range(1, N)) + [N])
+                rows = -X[jnp.asarray(stages)][:, idx, :]
+                G = G.at[dest.reshape(-1)].set(rows.reshape(-1, nd))
+                lw = l[dest]
+                cx = cx.at[M, jnp.asarray(stages[:-1])].add(
+                    jnp.zeros((stages.size - 1, nq), dtype).at[:, idx].add(-lw[:-1]))
+                cNx = cNx.at[M].add(jnp.zeros(nq, dtype).at[idx].add(-lw[-1]))
+
+        # terminal nonlinear constraint rows
+        def term_rows(fn, dest):
+            JN = jax.jacfwd(lambda xx: jnp.atleast_1d(_call_term(fn, xx, P, N)))(x[N])
+            w = l[dest]
+            HN = jax.hessian(lambda xx: jnp.dot(
+                w, jnp.atleast_1d(_call_term(fn, xx, P, N))))(x[N]) if hessian \
+                else jnp.zeros((nq, nq), dtype)
+            return JN, w, HN
+
+        if self._term_shared_dest is not None:
+            fnN = self.shared_constraints[N]
+            JN, w, HN = term_rows(fnN, self._term_shared_dest)
+            G = G.at[self._term_shared_dest].set(JN @ X[N])
+            cNx = cNx.at[M].add(w @ JN)
+            if hessian:
+                WN = WN.at[M].add(HN)
+        for a in range(M):
+            if self._term_agent_dest[a] is not None:
+                fnN = self.agent_constraints[a][N]
+                JN, w, HN = term_rows(fnN, self._term_agent_dest[a])
+                G = G.at[self._term_agent_dest[a]].set(JN @ X[N])
+                cNx = cNx.at[M].add(w @ JN)
+                if hessian:
+                    WN = WN.at[M].add(HN)
+
+        q = self._own_blocks(grads)
+        if not hessian:
+            return q, G, g, x
+
+        # ---- adjoints lambda^sigma_{k+1} per stage (backward scan, vmapped over sigma)
+        def backward(lamN, cx_s):
+            def bstep(lam, blk):
+                A_k, cx_k = blk
+                out = lam                       # lambda_{k+1} for this stage k
+                return cx_k + A_k.T @ lam, out
+
+            _, lam_kp1 = jax.lax.scan(bstep, lamN, (A, cx_s), reverse=True)
+            return lam_kp1                      # (N, nq)
+
+        lam_kp1 = jax.vmap(backward)(cNx, cx)   # (M+1, N, nq)
+
+        # ---- dynamics curvature, shared across the M+1 scalars
+        def dyn_T(q_, u_):
+            Ed = jax.jacfwd(jax.jacfwd(jd.fd, argnums=0), argnums=0)(q_, u_)
+            Fd = jax.jacfwd(jax.jacfwd(jd.fd, argnums=1), argnums=1)(q_, u_)
+            Gd = jax.jacfwd(jax.jacfwd(jd.fd, argnums=1), argnums=0)(q_, u_)
+            T = jnp.zeros((nq, nq + nu, nq + nu), dtype)
+            T = T.at[:, :nq, :nq].set(Ed)
+            T = T.at[:, nq:, nq:].set(Fd)
+            T = T.at[:, nq:, :nq].set(Gd)
+            T = T.at[:, :nq, nq:].set(jnp.swapaxes(Gd, 1, 2))
+            return T
+
+        T = jax.vmap(dyn_T)(x[:-1], u_mat)                       # (N, nq, nq+nu, nq+nu)
+        Wdyn = jnp.einsum('ski,kijm->skjm', lam_kp1, T)          # (M+1, N, nq+nu, ...)
+        W = W.at[:, :, :nq + nu, :nq + nu].add(Wdyn)
+
+        # ---- horizon coupling: batched GEMMs against the sensitivity stack
+        Z = jnp.concatenate([X[:-1], S, Sm], axis=1)             # (N, L, nd)
+        tmp = jnp.einsum('sklj,kjd->skld', W, Z)
+        H = jnp.einsum('kld,skle->sde', Z, tmp)                  # (M+1, nd, nd)
+        H = H + jnp.einsum('ld,slj,je->sde', X[N], WN, X[N])
+
+        Q = jnp.concatenate([
+            (H[a] + H[M])[self.ua_el_offsets[a]:self.ua_el_offsets[a + 1], :]
+            for a in range(M)], axis=0)
+        return Q, q, G, g, x
+
     def constraint_indices_for_agent(self, a: int) -> np.ndarray:
         """Row indices of the constraints entering agent a's best-response problem:
         shared rows + agent-a rows (incl. its box rows) at every stage.

@@ -103,6 +103,10 @@ class DGSQPParams(ControllerConfig):
     # with the previous round's duals/slacks, shifted to the central path.  SQP
     # subproblems change slowly, so this typically saves ~half the IPM iterations.
     qp_warm_start: bool = False
+    # game-Hessian assembly: 'ad' = forward-over-reverse AD sweep; 'dp' = stagewise
+    # per-stage Jacobians/Hessians + sensitivity-stack GEMMs (the reference's DP
+    # recursion structure, DGSQP.py:679-727/829-877, recast as batched matmuls).
+    hessian_mode: str = 'ad'
     # PDAS polish iterations in the QP kernel (each is a QR-factored KKT solve)
     qp_polish_iters: int = 4
     # Hessian PSD projection: 'eigh' = exact eigenvalue clipping (reference semantics);

@@ -87,10 +87,13 @@ def main():
     print(f'# batch={B} N={N} platform={accel.platform} n_dec={solver.n_dec} '
           f'n_c={solver.n_c} qp_iters={solver.params.qp_max_iters} '
           f'ls={solver.params.line_search_iters}', flush=True)
+    eval_dp = jax.vmap(lambda u, l, x, p: solver.problem.evaluate_dp(
+        u, l, x, p, None, hessian=True))
     timeit('rollout', rollout, u0, x0)
     timeit('merit terms (d, g)', merit, u0, l0, x0, up)
     out_l = timeit('evaluate (q,G,g)', eval_lite, u0, l0, x0, up)
     out_f = timeit('evaluate (+Q hessian)', eval_full, u0, l0, x0, up)
+    timeit('evaluate_dp (+Q, GEMM)', eval_dp, u0, l0, x0, up)
     Q, q, G, g, _ = out_f
     timeit('convexify (eigh)', conv_eigh, Q)
     Qh = timeit('convexify (ns)', conv_ns, Q)

@@ -145,3 +145,47 @@ def test_dual_warm_start_nonnegative(problem):
     l0 = np.asarray(problem.dual_warm_start(u, x0, up))
     assert l0.shape == (problem.n_c_total,)
     assert (l0 >= 0).all()
+
+
+def test_evaluate_dp_matches_ad(problem):
+    """evaluate_dp (stagewise-GEMM assembly) reproduces evaluate (whole-trajectory AD)
+    exactly: Q, q, G, g on a game with shared nonlinear + box constraints, rate costs,
+    and terminal couplings."""
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(0.0, 0.5, problem.n_dec))
+    lam = jnp.asarray(rng.uniform(0.0, 1.0, problem.n_c_total))
+    x0 = jnp.asarray([0.3, -0.2])
+    up = jnp.asarray(rng.normal(0.0, 0.1, problem.n_u))
+
+    Q1, q1, G1, g1, x1 = jax.jit(lambda *a: problem.evaluate(*a, hessian=True))(
+        u, lam, x0, up, None)
+    Q2, q2, G2, g2, x2 = jax.jit(lambda *a: problem.evaluate_dp(*a, hessian=True))(
+        u, lam, x0, up, None)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(G2), np.asarray(G1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Q2), np.asarray(Q1), atol=1e-9)
+
+
+def test_evaluate_dp_matches_ad_chicane():
+    """Same DP-vs-AD equality on the flagship chicane game (kinematic bicycles, shared
+    collision constraint, agent rate constraints, competitive costs) at N=6."""
+    from dgsqp_tpu.harness.scenarios import build_chicane_scenario
+    sc = build_chicane_scenario(N=6, theta_deg=45.0)
+    problem = GameProblem(sc.joint_model, sc.costs, sc.agent_constraints,
+                          sc.shared_constraints, sc.bounds, sc.N)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(0.0, 0.2, problem.n_dec))
+    lam = jnp.asarray(rng.uniform(0.0, 0.5, problem.n_c_total))
+    x0 = jnp.asarray([0.5, 0.0, 2.0, 0.0, 0.5, 0.0, 1.5, 0.3, 2.2, 0.0, 1.5, 0.3])
+    up = jnp.zeros(problem.n_u)
+
+    Q1, q1, G1, g1, _ = jax.jit(lambda *a: problem.evaluate(*a, hessian=True))(
+        u, lam, x0, up, None)
+    Q2, q2, G2, g2, _ = jax.jit(lambda *a: problem.evaluate_dp(*a, hessian=True))(
+        u, lam, x0, up, None)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(G2), np.asarray(G1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Q2), np.asarray(Q1), atol=1e-7)
