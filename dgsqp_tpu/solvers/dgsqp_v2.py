@@ -113,7 +113,10 @@ class DGSQPV2:
 
     # ------------------------------------------------------------------ pieces
     def _eval_full(self, u, l, x0, up, P):
-        Q, q, G, g, x = self.problem.evaluate(u, l, x0, up, P, hessian=True)
+        if getattr(self.params, 'hessian_mode', 'ad') == 'dp':
+            Q, q, G, g, x = self.problem.evaluate_dp(u, l, x0, up, P, hessian=True)
+        else:
+            Q, q, G, g, x = self.problem.evaluate(u, l, x0, up, P, hessian=True)
         return 0.5 * (Q + Q.T), q, G, g   # v2 symmetrizes (DGSQP_v2.py:1116)
 
     def _eval_lite(self, u, l, x0, up, P):
