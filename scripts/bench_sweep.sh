@@ -17,9 +17,10 @@ run() {
 }
 
 run "baseline chunk8"      DGSQP_BENCH_CHUNK=8
-run "qpws chunk8"          DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1
-run "stall15 chunk8"       DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15
-run "stall15+qpws chunk8"  DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15 DGSQP_BENCH_QP_WS=1
-run "stall10+qpws chunk8"  DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=10 DGSQP_BENCH_QP_WS=1
+run "qpws"                 DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1
+run "hess-dp"              DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_HESS=dp
+run "stall15"              DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15
+run "stall15+qpws"         DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15 DGSQP_BENCH_QP_WS=1
+run "stall15+qpws+dp"      DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15 DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_HESS=dp
 run "stall15+qpws chunk16" DGSQP_BENCH_CHUNK=16 DGSQP_BENCH_STALL=15 DGSQP_BENCH_QP_WS=1
 run "stall15+qpws qp15"    DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15 DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_QP_ITERS=15
