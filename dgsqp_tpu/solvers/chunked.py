@@ -58,17 +58,20 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         can_compact = (not any(_multi_device(a) for a in (first_leaf, x0, up))
                        or batch_sh is not None)
 
-    # Multi-host (jax.distributed) arrays are not fully addressable from any one
-    # process: no host-side harvest/compaction is possible, so run the plain chunk
-    # loop with a device-side (replicated) running count and return the sharded carry.
-    if not getattr(first_leaf, 'is_fully_addressable', True):
+    # Fixed-layout fallback — no harvest/compaction, the carry keeps its sharding:
+    #   * multi-host (jax.distributed) arrays: not fully addressable from one process;
+    #   * multi-device batches with a non-NamedSharding (no mesh to re-shard against);
+    #   * callers that force can_compact=False on a sharded batch.
+    if (not getattr(first_leaf, 'is_fully_addressable', True)
+            or (not can_compact and batch_sh is None
+                and any(_multi_device(a) for a in (first_leaf, x0, up)))):
         history = []
         for i in range(max_chunks):
             carry = chunk_fn(carry, x0, up)
             n_run = int(jnp.sum(getattr(carry, status_field) == running_status))
             history.append(dict(chunk=i, running=n_run, batch=-1))
             if verbose:
-                print_method(f'chunk {i}: {n_run} games still running (multi-host)')
+                print_method(f'chunk {i}: {n_run} games still running (fixed layout)')
             if n_run == 0:
                 break
         return carry, x0, up, history

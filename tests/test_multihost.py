@@ -19,11 +19,13 @@ import pytest
 _WORKER = r'''
 import os, sys, json
 pid = int(sys.argv[1]); port = sys.argv[2]
-os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
 os.environ['JAX_ENABLE_X64'] = '1'
 import numpy as np
 import jax
+# the axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS/JAX_PLATFORM_NAME env
+# selection; only a config update after import reliably pins the worker to CPU
+jax.config.update('jax_platforms', 'cpu')
 from dgsqp_tpu.parallel.mesh import init_distributed, games_mesh, shard_batch
 
 assert init_distributed(coordinator_address=f'localhost:{port}',
