@@ -16,3 +16,12 @@ python scripts/monte_carlo_main.py --scenario agents --agents 3 --solver dgsqp -
 python scripts/monte_carlo_main.py --scenario agents --agents 4 --solver dgsqp --n $N_SAMPLES --out $OUT
 # approximate-game formulation (MPCC) via the frenet-approx solver
 python scripts/monte_carlo_main.py --scenario chicane --formulation approximate --n $N_SAMPLES --out $OUT
+# exact dynamic-bicycle study (journal dynamic study; reference run_dynamic_study.sh)
+for CS in 0 1 2 3; do
+  python scripts/monte_carlo_main.py --scenario dynamic --cost_setting $CS --n $N_SAMPLES --out $OUT
+done
+# cross-solver oracles on the same chicane samples (equilibrium agreement)
+python scripts/monte_carlo_main.py --scenario chicane --solver algames --n $N_SAMPLES --out $OUT
+python scripts/monte_carlo_main.py --scenario chicane --solver mcp --N 15 --n $N_SAMPLES --out $OUT
+# then: python scripts/gne_compare_main.py --N 15 $OUT/<dgsqp pickle> $OUT/<mcp pickle>
+# (equilibrium-match analysis; see docs/match_dgsqp_mcp_N15.json for a recorded run)
