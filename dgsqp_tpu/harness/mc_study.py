@@ -101,8 +101,13 @@ def solve_with_retries(solver, retry_solvers, u0, l0, x0, up):
 
 def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int = 0,
                  solver_cls=DGSQP, n_devices: Optional[int] = None,
-                 solver=None) -> MCResults:
-    """Run one Monte-Carlo configuration end to end, batched over all samples."""
+                 solver=None, ibr_ws: bool = False) -> MCResults:
+    """Run one Monte-Carlo configuration end to end, batched over all samples.
+
+    ``ibr_ws=True`` refines the PID warm start with one batched IBR (Gauss-Seidel
+    best-response) sweep before the main solve — the reference comp study's
+    ``ibr_ws`` path (``DGSQP_comp_monte_carlo.py:451-468``, ``ibr_iters=1``).
+    """
     if solver is None:
         if solver_params is None:
             solver_params = DGSQPParams(N=scenario.N, dt=scenario.dt, reg=1e-3,
@@ -117,6 +122,16 @@ def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int
     x0, u_ws, _, _ = _sample(scenario, num_samples, seed)
     u0 = np.asarray(jax.vmap(solver.problem.stage_to_u)(jnp.asarray(u_ws, dtype)))
     up = np.zeros((num_samples, scenario.joint_model.n_u), dtype=np.asarray(u0).dtype)
+    if ibr_ws:
+        from dgsqp_tpu.solvers.ibr import IBR
+        from dgsqp_tpu.solvers.solver_types import IBRParams
+        ibr = IBR(scenario.joint_model, scenario.costs, scenario.agent_constraints,
+                  scenario.shared_constraints, scenario.bounds,
+                  IBRParams(N=scenario.N, dt=scenario.dt, ibr_iters=1,
+                            p_tol=1e-3, d_tol=1e-3), print_method=None)
+        u0 = np.asarray(jax.jit(jax.vmap(
+            lambda u, x, p: ibr._solve_core(u, x, p, None).u))(
+            jnp.asarray(u0), jnp.asarray(x0, dtype), jnp.asarray(up)))
     l0 = np.asarray(jax.jit(jax.vmap(
         lambda u, x, p: solver.problem.dual_warm_start(u, x, p)))(
         jnp.asarray(u0), jnp.asarray(x0, dtype), jnp.asarray(up)))

@@ -47,6 +47,9 @@ def main():
     ap.add_argument('--no_nms', action='store_true')
     ap.add_argument('--reg_init', type=float, default=None)
     ap.add_argument('--reg_decay', type=float, default=None)
+    ap.add_argument('--ibr_ws', action='store_true',
+                    help='refine the PID warm start with one batched IBR sweep '
+                         '(reference DGSQP_comp_monte_carlo.py ibr_ws=True)')
     ap.add_argument('--out', default='results')
     ap.add_argument('--devices', type=int, default=None)
     ap.add_argument('--skip_existing', action='store_true',
@@ -121,7 +124,8 @@ def main():
                              p_tol=args.p_tol, d_tol=args.d_tol, beta=0.01, tau=0.5,
                              merit_function=args.merit_function)
         res = run_mc_study(scenario, solver_params=params, num_samples=args.n,
-                           seed=args.seed, n_devices=args.devices)
+                           seed=args.seed, n_devices=args.devices,
+                           ibr_ws=args.ibr_ws)
     elif args.solver == 'dgsqp_v2':
         params = DGSQPV2Params(N=scenario.N, dt=scenario.dt, sqp_iters=args.sqp_iters,
                                p_tol=args.p_tol, d_tol=args.d_tol,
@@ -133,7 +137,8 @@ def main():
         if args.reg_decay is not None:
             params.reg_decay = args.reg_decay
         res = run_mc_study(scenario, solver_params=params, num_samples=args.n,
-                           seed=args.seed, solver_cls=DGSQPV2, n_devices=args.devices)
+                           seed=args.seed, solver_cls=DGSQPV2, n_devices=args.devices,
+                           ibr_ws=args.ibr_ws)
     elif args.solver == 'algames':
         from dgsqp_tpu.harness.mc_study import run_mc_study_algames
         res = run_mc_study_algames(scenario, num_samples=args.n, seed=args.seed)
