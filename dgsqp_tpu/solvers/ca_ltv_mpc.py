@@ -50,6 +50,36 @@ def _call2(fn, q, u, P, k=None):
     return fn(q, u, P) if n >= 3 else fn(q, u)
 
 
+_COST_REG = 1e-9    # Levenberg term on every quadratized cost block (both backends)
+
+
+def _quadratize_group(fn, refs, ks, nb, P, dtype):
+    """Per-stage quadratic model of a cost callable around its reference points:
+    returns (M, m) with cost ~ 1/2 x'Mx + m'x + const.  SHARED by the dense and
+    riccati backends — their subproblems must stay linearization-identical."""
+
+    def quad(x_ref, k):
+        val_fn = lambda xx: _call1(fn, xx, P, k)
+        M = jax.hessian(val_fn)(x_ref) + _COST_REG * jnp.eye(nb, dtype=dtype)
+        m = jax.grad(val_fn)(x_ref)
+        return M, m - M @ x_ref
+
+    return jax.vmap(quad)(refs, ks)
+
+
+def _linearize_group(fn, qs, us, ks, P):
+    """Per-stage linearization of a nonlinear constraint callable: returns
+    (vals, Jq, Ju).  SHARED by both backends."""
+
+    def lin(qk, uk, k):
+        val = jnp.atleast_1d(_call2(fn, qk, uk, P, k))
+        Jq = jax.jacfwd(lambda qq: jnp.atleast_1d(_call2(fn, qq, uk, P, k)))(qk)
+        Ju = jax.jacfwd(lambda uu: jnp.atleast_1d(_call2(fn, qk, uu, P, k)))(uk)
+        return val, Jq, Ju
+
+    return jax.vmap(lin)(qs, us, ks)
+
+
 class CA_LTV_MPC:
     def __init__(self, dynamics, costs: Dict, constraints: Dict, bounds: Dict,
                  control_params: CALTVMPCParams = None, print_method=print, dtype=None):
@@ -249,21 +279,12 @@ class CA_LTV_MPC:
             Rv = Rv.at[:, n_u:, n_u:].add(
                 jnp.diag(jnp.asarray(self._ric_slack_quad, dtype)))
             rv = rv.at[:, n_u:].add(jnp.asarray(self._ric_slack_lin, dtype))
-        reg = 1e-9
         x_refs = {'state': q_ref, 'input': u_ref,
                   'rate': jnp.concatenate([du, jnp.zeros((1, n_u), dtype)])}
         offs = {'state': 0, 'input': n_q}
 
         for kind, fn, ks, nb, _r, _c, _h in self._cost_groups:
-            refs = x_refs[kind][ks]
-
-            def quad(x_ref, k):
-                val_fn = lambda xx: _call1(fn, xx, P, k)
-                M = jax.hessian(val_fn)(x_ref) + reg * jnp.eye(nb, dtype=dtype)
-                m = jax.grad(val_fn)(x_ref)
-                return M, m - M @ x_ref
-
-            Ms, ms = jax.vmap(quad)(refs, ks)
+            Ms, ms = _quadratize_group(fn, x_refs[kind][ks], ks, nb, P, dtype)
             if kind == 'rate':
                 Rv = Rv.at[ks, :n_u, :n_u].add(Ms)
                 rv = rv.at[ks, :n_u].add(ms)
@@ -296,14 +317,7 @@ class CA_LTV_MPC:
         r0 = self._ric_nl_row0
         for fn, ks, m, _rows, _rq, _cq, _ru, _cu in self._nl_groups:
             qs, us = q_ref[ks], u_ref[ks]
-
-            def lin(qk, uk, k):
-                val = jnp.atleast_1d(_call2(fn, qk, uk, P, k))
-                Jq = jax.jacfwd(lambda qq: jnp.atleast_1d(_call2(fn, qq, uk, P, k)))(qk)
-                Ju = jax.jacfwd(lambda uu: jnp.atleast_1d(_call2(fn, qk, uu, P, k)))(uk)
-                return val, Jq, Ju
-
-            vals, Jqs, Jus = jax.vmap(lin)(qs, us, ks)
+            vals, Jqs, Jus = _linearize_group(fn, qs, us, ks, P)
             Dm = Dm.at[ks, r0:r0 + m, :n_q].set(Jqs)
             Dm = Dm.at[ks, r0:r0 + m, n_q:].set(Jus)
             rhs = (jnp.einsum('kmj,kj->km', Jqs, qs)
@@ -512,20 +526,11 @@ class CA_LTV_MPC:
         # ---------------- quadratic cost  1/2 z'Hz + h'z (stage groups + scatter)
         H = jnp.asarray(self._H0, dtype)
         h = jnp.asarray(self._h0, dtype)
-        reg = 1e-9
         x_refs = {'state': q_ref, 'input': u_ref,
                   'rate': jnp.concatenate([du, jnp.zeros((1, n_u), dtype)])}
 
         for kind, fn, ks, nb, r_idx, c_idx, h_idx in self._cost_groups:
-            refs = x_refs[kind][ks]
-
-            def quad(x_ref, k):
-                val_fn = lambda xx: _call1(fn, xx, P, k)
-                M = jax.hessian(val_fn)(x_ref) + reg * jnp.eye(nb, dtype=dtype)
-                m = jax.grad(val_fn)(x_ref)
-                return M, m - M @ x_ref
-
-            Ms, ms = jax.vmap(quad)(refs, ks)
+            Ms, ms = _quadratize_group(fn, x_refs[kind][ks], ks, nb, P, dtype)
             H = H.at[r_idx, c_idx].add(Ms.reshape(-1))
             h = h.at[h_idx].add(ms.reshape(-1))
 
@@ -547,14 +552,7 @@ class CA_LTV_MPC:
         b_nl = jnp.zeros(self._n_nl, dtype)
         for fn, ks, m, rows, rq, cq, ru, cu in self._nl_groups:
             qs, us = q_ref[ks], u_ref[ks]   # stage k uses (q_k, u_{k-1})
-
-            def lin(qk, uk, k):
-                val = jnp.atleast_1d(_call2(fn, qk, uk, P, k))
-                Jq = jax.jacfwd(lambda qq: jnp.atleast_1d(_call2(fn, qq, uk, P, k)))(qk)
-                Ju = jax.jacfwd(lambda uu: jnp.atleast_1d(_call2(fn, qk, uu, P, k)))(uk)
-                return val, Jq, Ju
-
-            vals, Jqs, Jus = jax.vmap(lin)(qs, us, ks)
+            vals, Jqs, Jus = _linearize_group(fn, qs, us, ks, P)
             A_nl = A_nl.at[rq, cq].set(Jqs.reshape(-1))
             A_nl = A_nl.at[ru, cu].set(Jus.reshape(-1))
             rhs = (jnp.einsum('kmj,kj->km', Jqs, qs)

@@ -30,11 +30,19 @@ def _multi_device(a) -> bool:
 
 
 def _batch_sharding(*arrays) -> Optional[NamedSharding]:
-    """The mesh sharding of the batch axis, if any input is mesh-sharded."""
+    """A rank-1 NamedSharding over the batch axis, if any input is mesh-sharded.
+
+    Normalized to ``P(<batch axis name>)`` so it is valid as ``out_shardings`` for
+    every carry leaf regardless of rank (a caller's ``P('games', None)`` spec would
+    otherwise fail to apply to rank-1 leaves)."""
     for a in arrays:
         sh = getattr(a, 'sharding', None)
         if isinstance(sh, NamedSharding) and len(sh.device_set) > 1:
-            return sh
+            spec = sh.spec
+            axis = spec[0] if len(spec) else None
+            if axis is None:
+                continue            # replicated / batch axis unsharded: no mesh layout
+            return NamedSharding(sh.mesh, PartitionSpec(axis))
     return None
 
 
@@ -63,7 +71,7 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
     #   * multi-device batches with a non-NamedSharding (no mesh to re-shard against);
     #   * callers that force can_compact=False on a sharded batch.
     if (not getattr(first_leaf, 'is_fully_addressable', True)
-            or (not can_compact and batch_sh is None
+            or (not can_compact
                 and any(_multi_device(a) for a in (first_leaf, x0, up)))):
         history = []
         for i in range(max_chunks):

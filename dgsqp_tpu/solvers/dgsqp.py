@@ -703,11 +703,15 @@ class DGSQP:
             comp_n = jnp.where(upd, comp_t, c.comp)
             stat_n = jnp.where(upd, stat_t, c.stat)
 
+            # warm-start carry only advances on finite QP results: one transient
+            # non-finite solve must not poison every later round's interior start
+            qp_lam_n = jnp.where(fin, lhat_t, c.qp_lam)
+            qp_t_n = jnp.where(fin, qp_t_out, c.qp_t)
             new = _FlatCarry(u_out, l_out, it_new, status.astype(jnp.int32), rel_its,
                              qp_solves, p_feas_n, comp_n, stat_n, mode, t_n,
                              u_cur, l_cur, s_pred, u_prev, l_prev,
                              u_k, du_k, l_k, dl_k, s_k, ds_k, mu_n, phi_k, dphi_k,
-                             stat_best, stall, lhat_t, qp_t_out)
+                             stat_best, stall, qp_lam_n, qp_t_n)
             # frozen games keep their state verbatim
             return jax.tree_util.tree_map(
                 lambda n, o: jnp.where(running, n, o), new, c)

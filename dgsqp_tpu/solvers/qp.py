@@ -56,34 +56,36 @@ def _step_length(z, dz, frac=0.99):
     return jnp.minimum(1.0, frac * jnp.min(ratios))
 
 
-def _ruiz_equilibrate(Q, A, iters: int = 3):
-    """Ruiz equilibration of the KKT block matrix [[Q, A'], [A, 0]].
+def _ruiz_equilibrate(Q, A, E=None, iters: int = 3):
+    """Ruiz equilibration of the KKT block matrix [[Q, A', E'], [A, 0, 0], [E, 0, 0]].
 
-    Returns diagonal scalings (d_x, e_r) with the scaled data
-    ``Qs = Dx Q Dx``, ``As = Er A Dx`` having ~unit row/col inf-norms — the same
-    conditioning treatment OSQP applies before its ADMM (critical for float32 on TPU).
+    Returns diagonal scalings ``(d_x, e_a)`` (plus ``e_e`` when an equality block ``E``
+    is given) with the scaled data ``Qs = Dx Q Dx``, ``As = Ea A Dx``, ``Es = Ee E Dx``
+    having ~unit row/col inf-norms — the same conditioning treatment OSQP applies
+    before its ADMM (critical for float32 on TPU).
     """
     n = Q.shape[-1]
-    m = A.shape[-2]
+    blocks = [A] + ([E] if E is not None else [])
+    e_rs = [jnp.ones(Bk.shape[-2], Q.dtype) for Bk in blocks]
     d_x = jnp.ones(n, Q.dtype)
-    e_r = jnp.ones(m, Q.dtype)
     for _ in range(iters):
         Qs = Q * d_x[:, None] * d_x[None, :]
-        As = A * e_r[:, None] * d_x[None, :]
-        col_norm = jnp.sqrt(jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(Qs), axis=0),
-                        jnp.max(jnp.abs(As), axis=0) if m else 0.0), 1e-8))
-        d_x = d_x / col_norm
-        if m:
-            As = A * e_r[:, None] * d_x[None, :]
-            rn = jnp.max(jnp.abs(As), axis=1)
-            # all-zero rows get NO scaling — the 1e-8 guard would otherwise compound to
-            # e_r ~ 1e12 over the sweeps, inflating the scaled b and wrecking the IPM's
-            # relative stopping test.
-            row_norm = jnp.where(rn == 0, 1.0, jnp.sqrt(jnp.maximum(rn, 1e-8)))
-            e_r = e_r / row_norm
+        col_norm = jnp.max(jnp.abs(Qs), axis=0)
+        for Bk, e_r in zip(blocks, e_rs):
+            if Bk.shape[-2]:
+                col_norm = jnp.maximum(
+                    col_norm, jnp.max(jnp.abs(Bk * e_r[:, None] * d_x[None, :]), axis=0))
+        d_x = d_x / jnp.sqrt(jnp.maximum(col_norm, 1e-8))
+        for i, (Bk, e_r) in enumerate(zip(blocks, e_rs)):
+            if Bk.shape[-2]:
+                rn = jnp.max(jnp.abs(Bk * e_r[:, None] * d_x[None, :]), axis=1)
+                # all-zero rows get NO scaling — the 1e-8 guard would otherwise compound
+                # to e_r ~ 1e12 over the sweeps, inflating the scaled rhs and wrecking
+                # the IPM's relative stopping test.
+                e_rs[i] = e_r / jnp.where(rn == 0, 1.0, jnp.sqrt(jnp.maximum(rn, 1e-8)))
     # OSQP-style safety clamp on the cumulative scalings
-    return jnp.clip(d_x, 1e-6, 1e6), jnp.clip(e_r, 1e-6, 1e6)
+    out = [jnp.clip(d_x, 1e-6, 1e6)] + [jnp.clip(e, 1e-6, 1e6) for e in e_rs]
+    return tuple(out)
 
 
 @partial(jax.jit, static_argnames=('max_iters', 'scale', 'polish_iters'))
@@ -125,7 +127,7 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     b = jnp.where(degen, jnp.maximum(b, 1.0), b)
 
     if scale:
-        d_x, e_r = _ruiz_equilibrate(Q, A)
+        d_x, e_r = _ruiz_equilibrate(Q, A)[:2]
         Qs = Q * d_x[:, None] * d_x[None, :]
         As = A * e_r[:, None] * d_x[None, :]
         qs = q * d_x
@@ -143,7 +145,10 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
                           jnp.maximum(jnp.max(r_p), jnp.max(comp)))
         sc = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
         ok = (res < 1e4 * tol * sc) & jnp.isfinite(res)
-        return QPSolution(x, lam, inner.t / jnp.maximum(e_r, 1e-30), ok, inner.iters, res)
+        # slacks consistent with the RETURNED (possibly polished) x, not the IPM
+        # iterate — warm-start consumers need a coherent (lam, t) pair
+        t_out = jnp.maximum(b - A @ x, 1e-14 if dtype == jnp.float64 else 1e-7)
+        return QPSolution(x, lam, t_out, ok, inner.iters, res)
 
     def residuals(x, lam, t):
         r_d = Q @ x + q + A.T @ lam
@@ -308,7 +313,8 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
 
     scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
     ok = (res < 1e4 * tol * scale) & jnp.isfinite(res)
-    return QPSolution(x, lam, st.t, ok, st.it, res)
+    t_out = jnp.maximum(b - A @ x, eps_floor)
+    return QPSolution(x, lam, t_out, ok, st.it, res)
 
 
 def solve_qp_batch(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50) -> QPSolution:
@@ -344,31 +350,7 @@ def solve_eq_qp(Q, q, A, b, E, d, tol: float = 1e-8, max_iters: int = 50,
     dtype = q.dtype
 
     if scale:
-        # column scaling from the stacked constraint/cost data + per-row scalings
-        d_x = jnp.ones(n, dtype)
-        e_a = jnp.ones(m, dtype)
-        e_e = jnp.ones(me, dtype)
-        for _ in range(3):
-            Qs = Q * d_x[:, None] * d_x[None, :]
-            As = A * e_a[:, None] * d_x[None, :]
-            Es = E * e_e[:, None] * d_x[None, :]
-            col = jnp.max(jnp.abs(Qs), axis=0)
-            if m:
-                col = jnp.maximum(col, jnp.max(jnp.abs(As), axis=0))
-            if me:
-                col = jnp.maximum(col, jnp.max(jnp.abs(Es), axis=0))
-            d_x = d_x / jnp.sqrt(jnp.maximum(col, 1e-8))
-            if m:
-                As = A * e_a[:, None] * d_x[None, :]
-                rn = jnp.max(jnp.abs(As), axis=1)
-                e_a = e_a / jnp.where(rn == 0, 1.0, jnp.sqrt(jnp.maximum(rn, 1e-8)))
-            if me:
-                Es = E * e_e[:, None] * d_x[None, :]
-                rn = jnp.max(jnp.abs(Es), axis=1)
-                e_e = e_e / jnp.where(rn == 0, 1.0, jnp.sqrt(jnp.maximum(rn, 1e-8)))
-        d_x = jnp.clip(d_x, 1e-6, 1e6)
-        e_a = jnp.clip(e_a, 1e-6, 1e6)
-        e_e = jnp.clip(e_e, 1e-6, 1e6)
+        d_x, e_a, e_e = _ruiz_equilibrate(Q, A, E)
         inner = solve_eq_qp(Q * d_x[:, None] * d_x[None, :], q * d_x,
                             A * e_a[:, None] * d_x[None, :], b * e_a,
                             E * e_e[:, None] * d_x[None, :], d * e_e,

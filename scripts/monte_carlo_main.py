@@ -19,8 +19,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import argparse
 import json
-import sys
-from pathlib import Path
 
 
 def main():

@@ -114,6 +114,59 @@ def test_soft_state_bounds():
     assert mpc.q_pred[:, 1].max() < 0.75
 
 
+def test_riccati_nonlinear_constraints_match_dense():
+    """dense vs riccati with a NONLINEAR state_input constraint (obstacle-avoidance
+    style, as the race stack's tracker uses) — the Dm/Em nonlinear-row scatter path."""
+    from dgsqp_tpu.dynamics import KinematicUnicycle, UnicycleConfig
+    from dgsqp_tpu.solvers.ca_ltv_mpc import CA_LTV_MPC
+    from dgsqp_tpu.solvers.solver_types import CALTVMPCParams
+
+    p_obs = jnp.asarray([0.5, 0.25])
+    r_obs = 0.2
+
+    def obs_avoid(q, u):
+        d = q[0:2] - p_obs
+        return jnp.atleast_1d(r_obs ** 2 - jnp.dot(d, d))
+    obs_avoid.n_out = 1
+
+    def build(backend):
+        model = KinematicUnicycle(0.0, UnicycleConfig(dt=DT))
+        W = jnp.asarray(np.diag([10.0, 10.0, 1.0, 1.0]))
+        tgt = jnp.asarray([1.0, 0.5, 0.0, 0.0])
+        costs = {'state': [lambda q: 0.5 * (q - tgt) @ W @ (q - tgt)] * (N + 1),
+                 'input': [lambda u: 0.05 * (u[0] ** 2 + u[1] ** 2)] * (N + 1),
+                 'rate': [lambda du: 0.05 * (du[0] ** 2 + du[1] ** 2)] * N}
+        constraints = {'state_input': [None] + [obs_avoid] * N, 'rate': [None] * N}
+        ub = VehicleState(x=Position(x=np.inf, y=np.inf),
+                          e=OrientationEuler(psi=np.inf),
+                          v=BodyLinearVelocity(v_long=5.0),
+                          u=VehicleActuation(u_a=3.0, u_steer=3.0))
+        lb = VehicleState(x=Position(x=-np.inf, y=-np.inf),
+                          e=OrientationEuler(psi=-np.inf),
+                          v=BodyLinearVelocity(v_long=-5.0),
+                          u=VehicleActuation(u_a=-3.0, u_steer=-3.0))
+        du_ub = VehicleState(u=VehicleActuation(u_a=1.0, u_steer=1.0))
+        du_lb = VehicleState(u=VehicleActuation(u_a=-1.0, u_steer=-1.0))
+        params = CALTVMPCParams(N=N, dt=DT, qp_iters=3, damping=0.5,
+                                qp_backend=backend)
+        return CA_LTV_MPC(model, costs, constraints,
+                          {'qu_ub': ub, 'qu_lb': lb, 'du_ub': du_ub, 'du_lb': du_lb},
+                          params, print_method=None)
+
+    preds = {}
+    for backend in ('dense', 'riccati'):
+        mpc = build(backend)
+        st = VehicleState(t=0.0)
+        st.v.v_long = 0.5
+        assert mpc.solve(st)
+        # the linearized obstacle constraint is respected along the prediction
+        d2 = ((mpc.q_pred[:, 0] - 0.5) ** 2 + (mpc.q_pred[:, 1] - 0.25) ** 2)
+        assert d2.min() > (0.2 - 0.03) ** 2
+        preds[backend] = (mpc.u_pred.copy(), mpc.q_pred.copy())
+    np.testing.assert_allclose(preds['riccati'][0], preds['dense'][0], atol=3e-4)
+    np.testing.assert_allclose(preds['riccati'][1], preds['dense'][1], atol=3e-4)
+
+
 def test_riccati_soft_constraints_match_dense():
     """With soft state bounds, the riccati backend's slack-as-stage-input construction
     reproduces the dense backend's slack-variable solution."""
