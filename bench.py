@@ -44,6 +44,8 @@ def main():
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
+    print('# bench: acquiring accelerator (a silent hang here = device tunnel '
+          'claim blocked)', file=sys.stderr, flush=True)
     platform = jax.devices()[0].platform
     on_tpu = platform != 'cpu'
     if not on_tpu:
