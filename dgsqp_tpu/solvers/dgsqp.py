@@ -196,12 +196,15 @@ class DGSQP:
         return q, G, g
 
     def _qp(self, Q, q, G, g, warm=None):
-        Qh = regularized_convexification(Q, self.params.reg,
-                                         method=getattr(self.params, 'conv_method', 'eigh'))
+        method = getattr(self.params, 'conv_method', 'eigh')
+        Qh = regularized_convexification(Q, self.params.reg, method=method)
+        # conv_method='none' keeps the indefinite game Hessian and routes the QP to the
+        # nonconvex kernel path (the reference's IPOPT/CPLEX OptimalityTarget=2 option,
+        # DGSQP.py:204-228)
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol,
                        max_iters=self.params.qp_max_iters,
                        polish_iters=getattr(self.params, 'qp_polish_iters', 4),
-                       warm=warm)
+                       warm=warm, indefinite=(method == 'none'))
         # The reference takes whatever step its QP backend returns — it sets
         # error_on_fail=False and never inspects the OSQP return status, so 'qp_fail'
         # only fires on an exception (DGSQP.py:186,244-266).  Match that: reject the

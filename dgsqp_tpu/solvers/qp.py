@@ -88,9 +88,10 @@ def _ruiz_equilibrate(Q, A, E=None, iters: int = 3):
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=('max_iters', 'scale', 'polish_iters'))
+@partial(jax.jit, static_argnames=('max_iters', 'scale', 'polish_iters', 'indefinite'))
 def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
-             scale: bool = True, polish_iters: int = 4, warm=None) -> QPSolution:
+             scale: bool = True, polish_iters: int = 4, warm=None,
+             indefinite: bool = False) -> QPSolution:
     """Solve one QP instance.  ``vmap`` over leading axes of (Q, q, A, b) for batches.
 
     ``Q`` must be symmetric positive definite (the SQP layer guarantees this via
@@ -102,6 +103,13 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     and slacks.  They are shifted toward the central path (Gondzio-style
     ``max(., delta)``) so warm starts stay strictly interior; SQP subproblems change
     slowly between iterations, so this typically saves half the IPM iterations.
+
+    ``indefinite=True`` accepts a (symmetric) indefinite ``Q`` — the reference's
+    IPOPT/CPLEX ``OptimalityTarget=2`` nonconvex-QP path (``DGSQP.py:204-228``): the
+    Newton systems use a Levenberg-shifted LU factorization instead of Cholesky and the
+    iteration converges to a KKT point (not necessarily a global minimizer); the
+    active-set polish is skipped (its Schur machinery needs ``Q`` PD on the active
+    nullspace).
     """
     n = q.shape[-1]
     m = b.shape[-1]
@@ -134,7 +142,8 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         bs = b * e_r
         warm_s = None if warm is None else (warm[0] / e_r, warm[1] * e_r)
         inner = solve_qp(Qs, qs, As, bs, tol, max_iters, scale=False,
-                         polish_iters=polish_iters, warm=warm_s)
+                         polish_iters=polish_iters, warm=warm_s,
+                         indefinite=indefinite)
         x = inner.x * d_x
         lam = inner.lam * e_r
         # re-certify on the ORIGINAL data (the scaled residual is not the true one)
@@ -165,15 +174,27 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
 
         d = jnp.clip(lam / jnp.maximum(t, eps_floor), 0.0, d_cap)
         K = Q + (A.T * d) @ A
-        # Levenberg guard keeps the factorization alive in ill-conditioned corners.
-        K = K + 1e-12 * jnp.trace(K) / n * jnp.eye(n, dtype=dtype)
-        # batch-dispatched to the lanes-batched Pallas kernels under vmap on TPU
-        L = _pallas_cholesky(K)
+        if indefinite:
+            # indefinite Q: Levenberg-shifted LU instead of Cholesky — converges to a
+            # KKT point of the nonconvex QP (reference CPLEX OptimalityTarget=2 role)
+            K = K + 1e-8 * (1.0 + jnp.max(jnp.abs(K))) * jnp.eye(n, dtype=dtype)
+            lu_and_piv = jax.scipy.linalg.lu_factor(K)
+
+            def ksolve(rhs):
+                return jax.scipy.linalg.lu_solve(lu_and_piv, rhs)
+        else:
+            # Levenberg guard keeps the factorization alive in ill-conditioned corners.
+            K = K + 1e-12 * jnp.trace(K) / n * jnp.eye(n, dtype=dtype)
+            # batch-dispatched to the lanes-batched Pallas kernels under vmap on TPU
+            L = _pallas_cholesky(K)
+
+            def ksolve(rhs):
+                return _pallas_cho_solve(L, rhs)
 
         def newton(r_c):
             # (Q + A'DA) dx = -r_d - A' (d * r_p - r_c / t)
             rhs = -r_d - A.T @ (d * r_p - r_c / t)
-            dx = _pallas_cho_solve(L, rhs)
+            dx = ksolve(rhs)
             dlam = d * (A @ dx + r_p) - r_c / t
             dt = -(r_c + t * dlam) / lam
             return dx, dlam, dt
@@ -221,6 +242,15 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         lam0 = jnp.ones(m, dtype)
     st0 = _IPMState(x0, lam0, t0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(jnp.inf, dtype))
     st = jax.lax.while_loop(cond, body, st0)
+
+    if indefinite or polish_iters == 0:
+        # no active-set polish (its Schur machinery needs Q PD); certify the IPM point
+        r_d, r_p, mu = residuals(st.x, st.lam, st.t)
+        res = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(r_d)), jnp.max(jnp.abs(r_p))), mu)
+        sc = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
+        ok = (res < 1e4 * tol * sc) & jnp.isfinite(res)
+        t_out = jnp.maximum(b - A @ st.x, eps_floor)
+        return QPSolution(st.x, st.lam, t_out, ok, st.it, res)
 
     # ---- polish: exact solves on candidate active sets (OSQP-style).
     # Recovers high-accuracy primal AND dual without driving the IPM to tiny mu; the SQP

@@ -51,7 +51,14 @@ def regularized_convexification(A, reg: float, min_eig: float = 1e-10,
     QR-algorithm eigendecomposition.
     """
     n = A.shape[-1]
-    Q = nearest_pd_ns(A) if method == 'ns' else nearest_pd(A, min_eig)
+    if method == 'none':
+        # indefinite path: symmetrize + regularize only, NO PSD projection — the QP
+        # subproblem keeps the exact (possibly indefinite) game Hessian, the analog of
+        # the reference handing the QP to IPOPT/CPLEX OptimalityTarget=2
+        # (``DGSQP.py:204-228``); requires the indefinite QP kernel.
+        Q = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    else:
+        Q = nearest_pd_ns(A) if method == 'ns' else nearest_pd(A, min_eig)
     if reg > 0:
         Q = Q + reg * jnp.eye(n, dtype=A.dtype)
     return Q

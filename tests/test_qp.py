@@ -114,3 +114,57 @@ def test_elastic_qp_handles_infeasible():
     assert bool(sol.ok)
     assert np.isfinite(float(sol.x[0]))
     assert abs(float(sol.x[0])) < 1.5
+
+
+def test_indefinite_qp_finds_kkt_point():
+    """indefinite=True solves a nonconvex box QP to a first-order KKT point (the
+    reference's IPOPT/CPLEX OptimalityTarget=2 role — stationary + feasible +
+    complementary, not necessarily the global minimizer): for
+    min 1/2(x1^2 - x2^2) + 0.3 x1 + 0.1 x2 on [-1,1]^2 the interior stationary point
+    reached from the central cold start is x = (-0.3, 0.1)."""
+    from dgsqp_tpu.solvers.qp import solve_qp
+    Q = jnp.diag(jnp.asarray([1.0, -1.0]))
+    q = jnp.asarray([0.3, 0.1])
+    A = jnp.asarray([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
+    b = jnp.ones(4)
+    sol = solve_qp(Q, q, A, b, tol=1e-10, indefinite=True)
+    assert bool(sol.ok)
+    # KKT certificate on the returned point
+    r_d = Q @ sol.x + q + A.T @ sol.lam
+    assert float(jnp.abs(r_d).max()) < 1e-6           # stationarity
+    assert float((A @ sol.x - b).max()) < 1e-8         # feasibility
+    assert float(jnp.abs(sol.lam * (A @ sol.x - b)).max()) < 1e-6  # complementarity
+    np.testing.assert_allclose(np.asarray(sol.x), [-0.3, 0.1], atol=1e-6)
+
+
+def test_dgsqp_conv_method_none_converges():
+    """conv_method='none' (exact indefinite Hessian + nonconvex QP kernel) still solves
+    the integrator game to the same equilibrium as the convexified default."""
+    from dgsqp_tpu.dynamics import (IntegratorModel, DynamicsConfig,
+                                    MultiAgentDynamicsModel)
+    from dgsqp_tpu.solvers.dgsqp import DGSQP, CONV_ABS, CONV_REL
+    from dgsqp_tpu.solvers.solver_types import DGSQPParams
+    from dgsqp_tpu.types import VehicleState
+
+    N, DT = 5, 0.1
+    sols = {}
+    for method in ('eigh', 'none'):
+        m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+        m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+        joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+        stage = lambda x, u, um: 0.5 * u[0] ** 2
+        term0 = lambda x: 50.0 * (x[0] - 1.0) ** 2 + 0.3 * jnp.tanh(x[0] * x[1])
+        term1 = lambda x: 50.0 * (x[1] - 1.0) ** 2 + 0.3 * jnp.tanh(x[0] * x[1])
+        ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+        lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+        params = DGSQPParams(N=N, dt=DT, reg=1e-3, p_tol=1e-8, d_tol=1e-8,
+                             sqp_iters=60, nonmono_ls=True, conv_method=method)
+        solver = DGSQP(joint, [(stage, term0), (stage, term1)], [None, None], None,
+                       {'ub': [ub, ub], 'lb': [lb, lb]}, params, print_method=None)
+        res = jax.jit(solver._solve_core)(jnp.zeros(solver.n_dec),
+                                          jnp.zeros(solver.n_c),
+                                          jnp.asarray([0.0, 0.0]),
+                                          jnp.zeros(solver.n_u), None)
+        assert int(res.status) in (CONV_ABS, CONV_REL), (method, int(res.status))
+        sols[method] = np.asarray(res.u)
+    np.testing.assert_allclose(sols['none'], sols['eigh'], atol=1e-6)
