@@ -27,7 +27,9 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
         params = DGSQPV2Params(N=sc.N, dt=sc.dt, reg=1e2, reg_decay=0.95, nms=True,
                                nms_frequency=5, nms_memory_size=3, sqp_iters=100,
                                p_tol=1e-3, d_tol=1e-3, merit_decrease=0.01,
-                               merit_decrease_condition='max', qp_tol=qp_tol)
+                               merit_decrease_condition='max', qp_tol=qp_tol,
+                               stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 0)) or None,
+                               hessian_mode=os.environ.get('DGSQP_BENCH_HESS', 'ad'))
         solver = DGSQPV2(sc.joint_model, sc.costs, sc.agent_constraints,
                          sc.shared_constraints, sc.bounds, params, print_method=None)
     else:
