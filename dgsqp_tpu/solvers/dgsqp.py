@@ -868,7 +868,7 @@ class DGSQP:
         return res
 
     def solve_batch_traced(self, u0, l0, x0, up, P=None, num_iters: Optional[int] = None,
-                           record_iterates: bool = False):
+                           record_iterates: bool = False, record_conds: bool = False):
         """Batched solve with a per-SQP-iteration trace (the reference's ``IterationData``
         record, ``DGSQP_v2.py:31-52`` / rich ``solve_info``, ``DGSQP_v2.py:633-647``).
 
@@ -876,8 +876,10 @@ class DGSQP:
         iteration's convergence quantities are captured — the instrumentation for
         diagnosing non-converged games.  Returns ``(SQPResult, trace)`` where ``trace``
         is a dict of (B, T)-shaped arrays: ``status, it, p_feas, comp, stat, qp_solves,
-        du_norm, dl_norm`` (+ ``u, l`` of shape (B, T, n) with ``record_iterates``).
-        Frozen games repeat their terminal row, so the trace tail is the terminal state.
+        du_norm, dl_norm`` (+ ``u, l`` of shape (B, T, n) with ``record_iterates``;
+        + ``cond_Q, cond_G`` with ``record_conds`` — the reference's per-iteration
+        conditioning log, ``DGSQP_v2.py:262-264``).  Frozen games repeat their terminal
+        row, so the trace tail is the terminal state.
         """
         T = int(num_iters or self.params.sqp_iters)
 
@@ -894,6 +896,13 @@ class DGSQP:
                 if record_iterates:
                     rec['u'] = c2.u
                     rec['l'] = c2.l
+                if record_conds:
+                    Q, _, G, _, _ = self._eval_full(c2.u, c2.l, x, u_p, P)
+                    sQ = jnp.linalg.svd(Q, compute_uv=False)
+                    sG = jnp.linalg.svd(G, compute_uv=False)
+                    tiny = jnp.asarray(1e-300, Q.dtype)
+                    rec['cond_Q'] = sQ[0] / jnp.maximum(sQ[-1], tiny)
+                    rec['cond_G'] = sG[0] / jnp.maximum(sG[-1], tiny)
                 return c2, rec
 
             c, trace = jax.lax.scan(step, init, None, length=T)
@@ -901,7 +910,7 @@ class DGSQP:
 
         if not hasattr(self, '_traced_jit'):
             self._traced_jit = {}
-        key = (T, record_iterates)
+        key = (T, record_iterates, record_conds)
         if key not in self._traced_jit:
             self._traced_jit[key] = jax.jit(jax.vmap(one))
         return self._traced_jit[key](u0, l0, x0, up)

@@ -527,3 +527,21 @@ def test_newton_schulz_psd_projection():
         scale = np.linalg.norm(np.asarray(P_ref))
         err = np.linalg.norm(np.asarray(P_ns - P_ref)) / scale
         assert err < 2e-2, err
+
+
+def test_traced_solve_records_conditioning():
+    """solve_batch_traced with record_conds captures per-iteration cond(Q)/cond(G)
+    (reference DGSQP_v2.py:262-264) alongside the IterationData-style quantities."""
+    solver = _integrator_game(gamma=0.2)
+    B, T = 3, 6
+    u0 = jnp.zeros((B, solver.n_dec))
+    l0 = jnp.zeros((B, solver.n_c))
+    x0 = jnp.asarray(np.random.default_rng(1).normal(0, 0.3, (B, 2)))
+    up = jnp.zeros((B, solver.n_u))
+    res, trace = solver.solve_batch_traced(u0, l0, x0, up, num_iters=T,
+                                           record_conds=True)
+    assert trace['cond_Q'].shape == (B, T)
+    assert trace['cond_G'].shape == (B, T)
+    assert np.isfinite(np.asarray(trace['cond_Q'])).all()
+    assert (np.asarray(trace['cond_Q']) >= 1.0 - 1e-9).all()
+    assert (np.asarray(trace['stat'])[:, -1] <= np.asarray(trace['stat'])[:, 0]).all()
