@@ -50,8 +50,11 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                              conv_method=os.environ.get('DGSQP_BENCH_CONV', 'ns'),
                              qp_polish_iters=int(os.environ.get('DGSQP_BENCH_POLISH', 4)),
                              # stagnation escape (iterations without 1% stat improvement
-                             # before terminating as 'stalled'; 0 = off)
-                             stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 0)) or None,
+                             # before terminating as 'stalled'; 0 = off).  Default ON:
+                             # measured at this exact config (N=25, CPU mesh A/B) with
+                             # IDENTICAL conv_abs/conv_rel and -15% total QP solves —
+                             # the plateaued games set the batch tail otherwise
+                             stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 15)) or None,
                              # cross-round IPM warm start (flat execution)
                              qp_warm_start=os.environ.get('DGSQP_BENCH_QP_WS', '0') == '1',
                              # 'ad' (fwd-over-rev sweep) or 'dp' (stagewise GEMM assembly)
