@@ -131,7 +131,10 @@ def gne_compare(results_a: MCResults, results_b: MCResults, N: int, num_ua,
         nmse_mean=float(d.mean()) if d.size else None,
         nmse_median=float(np.median(d)) if d.size else None,
         nmse_max=float(d.max()) if d.size else None,
-        nmse_hist=np.histogram(d, bins=np.linspace(0, hist_max, hist_bins + 1))[0]
+        # overflow bucket: disagreements beyond hist_max land in the LAST bin instead
+        # of silently vanishing (they are exactly what the histogram exists to show)
+        nmse_hist=np.histogram(np.minimum(d, hist_max),
+                               bins=np.linspace(0, hist_max, hist_bins + 1))[0]
             .tolist() if d.size else None,
         stage_gap_profile_p50=np.median(stage_gap[both], axis=0).tolist()
             if both.any() else None,

@@ -111,8 +111,11 @@ def sample_dynamic_duel_initial_conditions(scenario, num_samples: int, seed: int
 
     xs, us, vrs, ers = [], [], [], []
     need = num_samples
+    # fixed candidate batch: a need-proportional B would re-jit ws_batch (the vmapped
+    # N-stage RK4 rollout) with a fresh shape every round — one multi-second XLA
+    # compile per round dominating sampler wall-clock
+    B = max(2 * num_samples, 8)
     for _ in range(max_rounds):
-        B = max(2 * need, 8)
         s1 = L * rng.random(B)
         v1, ep1, ey1, xyp1 = draw_car(s1)
         s2 = s1 + 1.2 * obs_d * (2 * rng.random(B) - 1)

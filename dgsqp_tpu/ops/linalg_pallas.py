@@ -251,9 +251,14 @@ def cho_solve_batch(L, b):
 
 
 def use_pallas() -> bool:
-    """Kernels apply on TPU backends only (CPU tests use the stock jnp path)."""
+    """Kernels apply on TPU backends only (CPU tests use the stock jnp path).
+
+    'axon' is the TPU-tunnel PJRT plugin (canonicalizes to tpu lowering rules);
+    any other backend — cpu, gpu/cuda/rocm — must take the stock jnp path, since
+    the pltpu primitives here cannot lower there.
+    """
     try:
-        return jax.default_backend() not in ('cpu',)
+        return jax.default_backend() in ('tpu', 'axon')
     except Exception:
         return False
 

@@ -470,14 +470,16 @@ class ALGAMES:
         from dgsqp_tpu.solvers.chunked import run_chunked_compacted
 
         if not hasattr(self, '_chunk_fns'):
-            def chunk(c, x, u_p):
+            self._chunk_fns = {}
+        if chunk_iters not in self._chunk_fns:   # cache keyed on chunk_iters: the
+            def chunk(c, x, u_p):                # closure bakes the loop length in
                 body = self._make_outer_body(x, u_p)
                 return jax.lax.fori_loop(0, chunk_iters, lambda i, cc: body(cc), c)
-            self._chunk_fns = (
+            self._chunk_fns[chunk_iters] = (
                 jax.jit(jax.vmap(chunk)),
                 jax.jit(jax.vmap(self._init_outer_carry)),
                 jax.jit(jax.vmap(self._finalize_outer)))
-        chunk_fn, init_fn, final_fn = self._chunk_fns
+        chunk_fn, init_fn, final_fn = self._chunk_fns[chunk_iters]
 
         carry = init_fn(q_ws, u_ws)
         max_chunks = max_chunks or (self.params.outer_iters // chunk_iters + 2)

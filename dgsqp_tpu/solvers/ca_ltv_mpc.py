@@ -388,6 +388,13 @@ class CA_LTV_MPC:
                 ('rate', n_u, lambda ks: n_z * (N + 1) + ks * n_u)):
             fns = self.costs.get(kind, [None] * (N + 1))
             for fn, ks in _group_stages(fns):
+                if kind == 'rate':
+                    # there are only N rate variables du_0..du_{N-1}: a stage-N rate
+                    # entry (length-N+1 list) has no decision column — its scatter
+                    # offset would land in the slack block and corrupt H
+                    ks = ks[ks < N]
+                    if ks.size == 0:
+                        continue
                 r, c, hi = block_grids(off_fn(ks), nb)
                 self._cost_groups.append((kind, fn, jnp.asarray(ks), nb,
                                           jnp.asarray(r), jnp.asarray(c),

@@ -883,9 +883,9 @@ class DGSQP:
         """
         T = int(num_iters or self.params.sqp_iters)
 
-        def one(u, l, x, u_p):
-            body = self._make_body(x, u_p, P)
-            init = self._init_carry(u, l, x, u_p, P)
+        def one(u, l, x, u_p, Pv):
+            body = self._make_body(x, u_p, Pv)
+            init = self._init_carry(u, l, x, u_p, Pv)
 
             def step(c, _):
                 c2 = body(c)
@@ -897,7 +897,7 @@ class DGSQP:
                     rec['u'] = c2.u
                     rec['l'] = c2.l
                 if record_conds:
-                    Q, _, G, _, _ = self._eval_full(c2.u, c2.l, x, u_p, P)
+                    Q, _, G, _, _ = self._eval_full(c2.u, c2.l, x, u_p, Pv)
                     sQ = jnp.linalg.svd(Q, compute_uv=False)
                     sG = jnp.linalg.svd(G, compute_uv=False)
                     tiny = jnp.asarray(1e-300, Q.dtype)
@@ -906,14 +906,18 @@ class DGSQP:
                 return c2, rec
 
             c, trace = jax.lax.scan(step, init, None, length=T)
-            return self._finalize(c, x, u_p, P), trace
+            return self._finalize(c, x, u_p, Pv), trace
 
         if not hasattr(self, '_traced_jit'):
             self._traced_jit = {}
         key = (T, record_iterates, record_conds)
         if key not in self._traced_jit:
-            self._traced_jit[key] = jax.jit(jax.vmap(one))
-        return self._traced_jit[key](u0, l0, x0, up)
+            # P rides through jit as a (shared, non-vmapped) traced argument so a
+            # later call with different parameters cannot reuse a trace that baked
+            # in the first call's P
+            self._traced_jit[key] = jax.jit(
+                jax.vmap(one, in_axes=(0, 0, 0, 0, None)))
+        return self._traced_jit[key](u0, l0, x0, up, P)
 
     # ------------------------------------------------------------- host interface
     def initialize(self):

@@ -40,12 +40,14 @@ def classify_trace(p_feas, comp, stat, p_tol, d_tol):
     s_tail = stat[tail]
     if np.max(p_feas[tail]) > p_tol:
         return 'infeasible'
-    rng = np.max(s_tail) - np.min(s_tail)
-    if np.max(s_tail) > 3 * np.min(s_tail) and rng > 0.5 * np.median(s_tail):
-        return 'oscillating'
+    # steadily improving ('slow', i.e. budget-limited) must be checked BEFORE
+    # 'oscillating' — a monotone decreasing tail also has a large max/min ratio
     first, last = np.median(s_tail[:len(s_tail) // 2]), np.median(s_tail[len(s_tail) // 2:])
     if last < 0.7 * first:
         return 'slow'
+    rng = np.max(s_tail) - np.min(s_tail)
+    if np.max(s_tail) > 3 * np.min(s_tail) and rng > 0.5 * np.median(s_tail):
+        return 'oscillating'
     return 'stalled'
 
 
@@ -132,7 +134,8 @@ def main():
         retry_cfgs = {
             'reg1e-2': replace(p, reg=1e-2),
             'reg1e-1': replace(p, reg=1e-1),
-            'merit_l1': replace(p, merit_function='stat_l1'),
+            'merit_stat': replace(p, merit_function='stat'),   # the OTHER merit
+                                                               # (stat_l1 is the default)
             'eigh': replace(p, conv_method='eigh'),
             'iters150_budget500': replace(p, sqp_iters=150, qp_solves_limit=500),
         }
