@@ -16,11 +16,25 @@ run() {
   echo "{\"config\": \"$desc\", \"bench\": ${json:-null}}" | tee -a "$OUT"
 }
 
-run "baseline chunk8"      DGSQP_BENCH_CHUNK=8
-run "qpws"                 DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1
-run "hess-dp"              DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_HESS=dp
-run "stall15"              DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15
-run "stall15+qpws"         DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15 DGSQP_BENCH_QP_WS=1
-run "stall15+qpws+dp"      DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15 DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_HESS=dp
-run "stall15+qpws chunk16" DGSQP_BENCH_CHUNK=16 DGSQP_BENCH_STALL=15 DGSQP_BENCH_QP_WS=1
-run "stall15+qpws qp15"    DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=15 DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_QP_ITERS=15
+# stall15 is the committed default; "r1-config" reproduces the round-1 configuration
+run "r1-config (stall off)" DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_STALL=0
+run "default (stall15)"     DGSQP_BENCH_CHUNK=8
+run "stall15+qpws"          DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1
+run "stall15+dp"            DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_HESS=dp
+run "stall15+qpws+dp"       DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_HESS=dp
+run "stall15+qpws chunk16"  DGSQP_BENCH_CHUNK=16 DGSQP_BENCH_QP_WS=1
+run "stall15+qpws qp15"     DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_QP_ITERS=15
+
+# pick the best config: highest solves/s among configs whose conv_abs is within
+# 1 point of the best conv_abs (quality first, then speed)
+python - "$OUT" <<'PY'
+import json, sys
+rows = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
+rows = [r for r in rows if r.get('bench')]
+if rows:
+    best_conv = max(r['bench']['convergence_rate'] for r in rows)
+    ok = [r for r in rows if r['bench']['convergence_rate'] >= best_conv - 0.01]
+    win = max(ok, key=lambda r: r['bench']['value'])
+    print(f"# best config: {win['config']} -> {win['bench']['value']} solves/s/chip "
+          f"(conv_abs {win['bench']['convergence_rate']:.1%})")
+PY
