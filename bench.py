@@ -44,6 +44,27 @@ def main():
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
+    if not os.environ.get('DGSQP_PLATFORM'):
+        # The axon device tunnel can wedge upstream (claims from killed processes leak
+        # and never release — observed 2026-08-18): jax.devices() then blocks forever.
+        # Probe the backend in a subprocess with a hard timeout first; on failure pin
+        # this process to CPU so the bench always emits its JSON line.
+        import subprocess
+        probe_t = float(os.environ.get('DGSQP_BENCH_ACQUIRE_TIMEOUT', 180))
+        print(f'# bench: probing accelerator tunnel (timeout {probe_t:.0f}s)',
+              file=sys.stderr, flush=True)
+        try:
+            out = subprocess.run(
+                [sys.executable, '-c', 'import jax; print(jax.devices()[0].platform)'],
+                timeout=probe_t, capture_output=True, text=True)
+            probe_ok = out.returncode == 0 and out.stdout.strip() != ''
+        except subprocess.TimeoutExpired:
+            probe_ok = False
+        if not probe_ok:
+            print('# bench: accelerator tunnel unresponsive — falling back to CPU',
+                  file=sys.stderr, flush=True)
+            jax.config.update('jax_platforms', 'cpu')
+
     print('# bench: acquiring accelerator (a silent hang here = device tunnel '
           'claim blocked)', file=sys.stderr, flush=True)
     platform = jax.devices()[0].platform

@@ -29,7 +29,8 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                                p_tol=1e-3, d_tol=1e-3, merit_decrease=0.01,
                                merit_decrease_condition='max', qp_tol=qp_tol,
                                stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 0)) or None,
-                               hessian_mode=os.environ.get('DGSQP_BENCH_HESS', 'ad'))
+                               hessian_mode=os.environ.get('DGSQP_BENCH_HESS', 'ad'),
+                               qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '0') == '1')
         solver = DGSQPV2(sc.joint_model, sc.costs, sc.agent_constraints,
                          sc.shared_constraints, sc.bounds, params, print_method=None)
     else:
@@ -57,6 +58,9 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                              stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 15)) or None,
                              # cross-round IPM warm start (flat execution)
                              qp_warm_start=os.environ.get('DGSQP_BENCH_QP_WS', '0') == '1',
+                             # fold input-box rows of G into the IPM normal matrix as a
+                             # diagonal update (208/525 rows at this config)
+                             qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '0') == '1',
                              # 'ad' (fwd-over-rev sweep) or 'dp' (stagewise GEMM assembly)
                              hessian_mode=os.environ.get('DGSQP_BENCH_HESS', 'ad'))
         solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,

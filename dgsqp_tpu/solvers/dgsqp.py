@@ -181,6 +181,10 @@ class DGSQP:
         self.u_prev = np.zeros(self.n_u)
         self.state_input_predictions = [VehiclePrediction() for _ in range(self.M)]
 
+        # static input-box structure for the QP kernel's GEMM split (opt-in)
+        self._qp_box = (self.problem.input_box_structure()
+                        if getattr(params, 'qp_box_split', False) else None)
+
         self._solve_jit = jax.jit(self._solve_core)
         self._solve_batch_jit = jax.jit(jax.vmap(self._solve_core))
         self.initialized = True
@@ -204,7 +208,8 @@ class DGSQP:
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol,
                        max_iters=self.params.qp_max_iters,
                        polish_iters=getattr(self.params, 'qp_polish_iters', 4),
-                       warm=warm, indefinite=(method == 'none'))
+                       warm=warm, indefinite=(method == 'none'),
+                       box=getattr(self, '_qp_box', None))
         # The reference takes whatever step its QP backend returns — it sets
         # error_on_fail=False and never inspects the OSQP return status, so 'qp_fail'
         # only fires on an exception (DGSQP.py:186,244-266).  Match that: reject the

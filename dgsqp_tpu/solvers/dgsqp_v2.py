@@ -107,6 +107,10 @@ class DGSQPV2:
         # subclass (reference DGSQP_v2_frenet_approx.py:727-786).
         self._approx_update = None
 
+        # static input-box structure for the QP kernel's GEMM split (opt-in)
+        self._qp_box = (self.problem.input_box_structure()
+                        if getattr(params, 'qp_box_split', False) else None)
+
         self._solve_jit = jax.jit(self._solve_core)
         self._solve_batch_jit = jax.jit(jax.vmap(self._solve_core))
         self.initialized = True
@@ -169,7 +173,7 @@ class DGSQPV2:
     def _qp(self, Q, q, G, g, reg):
         Qh = nearest_pd(Q) + reg * jnp.eye(self.n_dec, dtype=self.dtype)
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol if hasattr(self.params, 'qp_tol')
-                       else 1e-8, max_iters=50)
+                       else 1e-8, max_iters=50, box=getattr(self, '_qp_box', None))
         return sol.x, sol.lam, sol.ok
 
     def _line_search(self, enabled, u, du, l, dl, s, mu, mem_max, x0, up, P):

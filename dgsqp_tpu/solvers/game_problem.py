@@ -284,6 +284,29 @@ class GameProblem:
         slb = sub + (len(self.state_ub_idxs[a]) if (k > 0 or k == self.N) else 0)
         return nl, iub, ilb, sub, slb
 
+    def input_box_structure(self):
+        """Static (rows, cols) of the input-box rows of ``G``.
+
+        Input-bound constraints are linear in the decision vector with a single
+        ±1 entry (column = that input's element in the agent-stacked flat ``u``),
+        so their rows of ``G`` are structurally constant across iterates.  The QP
+        kernel uses this to fold them into the IPM normal matrix as a diagonal
+        update instead of GEMM rows (``solve_qp(box=...)``).  State-box rows are
+        dense in ``u`` (rows of ``±Du_x``) and are NOT included.
+        """
+        rows, cols = [], []
+        for k in range(self.N):
+            for a in range(self.M):
+                _, iub, ilb, sub, _ = self._block_offsets(a, k)
+                base_col = self.ua_el_offsets[a] + k * self.num_ua_d[a]
+                for r, j in enumerate(self.input_ub_idxs[a]):
+                    rows.append(iub + r)
+                    cols.append(base_col + int(j))
+                for r, j in enumerate(self.input_lb_idxs[a]):
+                    rows.append(ilb + r)
+                    cols.append(base_col + int(j))
+        return tuple(int(r) for r in rows), tuple(int(c) for c in cols)
+
     def _build_plan(self):
         """Precompute vmap groups and destination index maps for vectorized assembly."""
         N, M = self.N, self.M

@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dgsqp_tpu.ops.linalg_pallas import cho_solve as _pallas_cho_solve
 from dgsqp_tpu.ops.linalg_pallas import cholesky as _pallas_cholesky
@@ -88,10 +89,11 @@ def _ruiz_equilibrate(Q, A, E=None, iters: int = 3):
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=('max_iters', 'scale', 'polish_iters', 'indefinite'))
+@partial(jax.jit, static_argnames=('max_iters', 'scale', 'polish_iters', 'indefinite',
+                                   'box'))
 def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
              scale: bool = True, polish_iters: int = 4, warm=None,
-             indefinite: bool = False) -> QPSolution:
+             indefinite: bool = False, box=None) -> QPSolution:
     """Solve one QP instance.  ``vmap`` over leading axes of (Q, q, A, b) for batches.
 
     ``Q`` must be symmetric positive definite (the SQP layer guarantees this via
@@ -110,6 +112,13 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     iteration converges to a KKT point (not necessarily a global minimizer); the
     active-set polish is skipped (its Schur machinery needs ``Q`` PD on the active
     nullspace).
+
+    ``box``: optional static ``(rows, cols)`` int tuples marking rows of ``A`` that are
+    structurally single-nonzero (e.g. input-box constraints — 208 of the chicane's 525
+    rows; ``GameProblem.input_box_structure``).  Such rows contribute ``d_i A[r,c]^2``
+    to the diagonal of the IPM normal matrix, so the per-iteration ``(A' D A)`` GEMM —
+    ~85% of the IPM's FLOPs — runs on the general rows only, with the box rows folded
+    in by a scatter-add.  Mathematically identical to ``box=None``.
     """
     n = q.shape[-1]
     m = b.shape[-1]
@@ -143,7 +152,7 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         warm_s = None if warm is None else (warm[0] / e_r, warm[1] * e_r)
         inner = solve_qp(Qs, qs, As, bs, tol, max_iters, scale=False,
                          polish_iters=polish_iters, warm=warm_s,
-                         indefinite=indefinite)
+                         indefinite=indefinite, box=box)
         x = inner.x * d_x
         lam = inner.lam * e_r
         # re-certify on the ORIGINAL data (the scaled residual is not the true one)
@@ -168,12 +177,29 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     eps_floor = 1e-14 if dtype == jnp.float64 else 1e-7
     d_cap = 1e14 if dtype == jnp.float64 else 1e7
 
+    if box is not None:
+        # split the structurally single-nonzero rows out of the normal-equation GEMM:
+        # row r with sole entry A[r,c] adds d_r * A[r,c]^2 to K[c,c] (scatter handles
+        # duplicate columns, e.g. ub+lb rows of the same input)
+        _box_rows = np.asarray(box[0], dtype=int)
+        _box_cols = np.asarray(box[1], dtype=int)
+        _gen_rows = np.setdiff1d(np.arange(m), _box_rows)
+        A_g = A[_gen_rows]
+        _box_v2 = A[_box_rows, _box_cols] ** 2
+
+        def _normal_matrix(d):
+            K = Q + (A_g.T * d[_gen_rows]) @ A_g
+            return K.at[_box_cols, _box_cols].add(d[_box_rows] * _box_v2)
+    else:
+        def _normal_matrix(d):
+            return Q + (A.T * d) @ A
+
     def body(st: _IPMState) -> _IPMState:
         x, lam, t = st.x, st.lam, st.t
         r_d, r_p, mu = residuals(x, lam, t)
 
         d = jnp.clip(lam / jnp.maximum(t, eps_floor), 0.0, d_cap)
-        K = Q + (A.T * d) @ A
+        K = _normal_matrix(d)
         if indefinite:
             # indefinite Q: Levenberg-shifted LU instead of Cholesky — converges to a
             # KKT point of the nonconvex QP (reference CPLEX OptimalityTarget=2 role)

@@ -109,6 +109,11 @@ class DGSQPParams(ControllerConfig):
     hessian_mode: str = 'ad'
     # PDAS polish iterations in the QP kernel (each is a QR-factored KKT solve)
     qp_polish_iters: int = 4
+    # exploit the input-box rows of G inside the QP kernel: single-nonzero rows
+    # contribute a diagonal update to the IPM normal matrix instead of GEMM rows
+    # (~40% of the chicane QP's rows are input bounds), cutting the dominant
+    # per-iteration (G' D G) FLOPs by the box-row fraction.  Decision-identical.
+    qp_box_split: bool = False
     # Hessian PSD projection: 'eigh' = exact eigenvalue clipping (reference semantics);
     # 'ns' = Newton-Schulz matmul-only approximation (MXU-friendly, ~1e-3 accuracy).
     conv_method: str = 'eigh'

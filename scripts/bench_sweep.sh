@@ -24,6 +24,9 @@ run "stall15+dp"            DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_HESS=dp
 run "stall15+qpws+dp"       DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_HESS=dp
 run "stall15+qpws chunk16"  DGSQP_BENCH_CHUNK=16 DGSQP_BENCH_QP_WS=1
 run "stall15+qpws qp15"     DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_QP_ITERS=15
+run "stall15+box"           DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_BOX=1
+run "stall15+qpws+box"      DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_BOX=1
+run "stall15+qpws+dp+box"   DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_HESS=dp DGSQP_BENCH_BOX=1
 
 # pick the best config: highest solves/s among configs whose conv_abs is within
 # 1 point of the best conv_abs (quality first, then speed)

@@ -168,3 +168,69 @@ def test_dgsqp_conv_method_none_converges():
         assert int(res.status) in (CONV_ABS, CONV_REL), (method, int(res.status))
         sols[method] = np.asarray(res.u)
     np.testing.assert_allclose(sols['none'], sols['eigh'], atol=1e-6)
+
+
+def test_box_split_matches_dense_kernel():
+    """solve_qp(box=...) folds single-nonzero rows into the normal matrix as a diagonal
+    update; the result must match the dense kernel (same math, different assembly)."""
+    rng = np.random.default_rng(7)
+    n, m_gen, n_box = 20, 25, 12
+    Q, q, A_gen, b_gen, x_star, _ = _rand_qp(rng, n, m_gen)
+    # synthetic box rows: +-1 entries on random columns, anchored at the feasible
+    # point x_star (slack 0 on half the rows -> tight, loose on the rest) so the
+    # combined problem stays feasible even when a column draws both signs
+    cols = rng.choice(n, size=n_box, replace=True)
+    signs = rng.choice([-1.0, 1.0], size=n_box)
+    A_box = np.zeros((n_box, n))
+    A_box[np.arange(n_box), cols] = signs
+    slack = np.where(rng.random(n_box) < 0.5, 0.0, rng.random(n_box) + 0.1)
+    b_box = A_box @ x_star + slack
+    A = np.vstack([A_box, A_gen])
+    b = np.concatenate([b_box, b_gen])
+    box = (tuple(range(n_box)), tuple(int(c) for c in cols))
+
+    dense = solve_qp(jnp.asarray(Q), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b))
+    split = solve_qp(jnp.asarray(Q), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b),
+                     box=box)
+    assert bool(dense.ok) and bool(split.ok)
+    np.testing.assert_allclose(np.asarray(split.x), np.asarray(dense.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(split.lam), np.asarray(dense.lam), atol=1e-5)
+
+
+def test_game_problem_input_box_structure():
+    """input_box_structure rows are exactly the single-nonzero +-1 rows of the numeric
+    G at the declared columns, and the split solver matches the dense one end-to-end."""
+    from dgsqp_tpu.harness.scenarios import build_chicane_scenario
+    from dgsqp_tpu.harness.bench_setup import build_bench_solver, build_bench_batch
+    from dgsqp_tpu.solvers.dgsqp import DGSQP
+    from dgsqp_tpu.solvers.solver_types import DGSQPParams
+
+    sc = build_chicane_scenario(N=6, theta_deg=45.0)
+    params = DGSQPParams(N=sc.N, dt=sc.dt, reg=1e-3, nonmono_ls=True, sqp_iters=25,
+                         p_tol=1e-3, d_tol=1e-3, qp_box_split=True)
+    solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,
+                   sc.shared_constraints, sc.bounds, params, print_method=None)
+    rows, cols = solver.problem.input_box_structure()
+    assert len(rows) > 0
+
+    u0, l0, x0, up = build_bench_batch(sc, solver, 2, seed=3)
+    _, G, _ = jax.vmap(lambda u, l, x, p: solver._eval_lite(u, l, x, p, None))(
+        u0, l0, x0, up)
+    G0 = np.asarray(G[0])
+    rows_a = np.asarray(rows)
+    cols_a = np.asarray(cols)
+    np.testing.assert_allclose(np.abs(G0[rows_a, cols_a]), 1.0, atol=1e-10)
+    masked = G0[rows_a].copy()
+    masked[np.arange(len(rows_a)), cols_a] = 0.0
+    np.testing.assert_allclose(masked, 0.0, atol=1e-10)
+
+    # end-to-end: box-split solve matches the dense solve on this batch
+    params_d = params.copy()
+    params_d.qp_box_split = False
+    solver_d = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,
+                     sc.shared_constraints, sc.bounds, params_d, print_method=None)
+    res_s = solver._solve_batch_jit(u0, l0, x0, up, None)
+    res_d = solver_d._solve_batch_jit(u0, l0, x0, up, None)
+    np.testing.assert_array_equal(np.asarray(res_s.status), np.asarray(res_d.status))
+    np.testing.assert_allclose(np.asarray(res_s.u), np.asarray(res_d.u),
+                               rtol=1e-6, atol=1e-7)
