@@ -59,7 +59,7 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                              # cross-round IPM warm start (flat execution)
                              qp_warm_start=os.environ.get('DGSQP_BENCH_QP_WS', '0') == '1',
                              # fold input-box rows of G into the IPM normal matrix as a
-                             # diagonal update (208/525 rows at this config)
+                             # diagonal update (200/525 rows at this config), and pair the ±Du_x state-bound rows
                              qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '0') == '1',
                              # 'ad' (fwd-over-rev sweep) or 'dp' (stagewise GEMM assembly)
                              hessian_mode=os.environ.get('DGSQP_BENCH_HESS', 'ad'))

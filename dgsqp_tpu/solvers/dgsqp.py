@@ -181,9 +181,12 @@ class DGSQP:
         self.u_prev = np.zeros(self.n_u)
         self.state_input_predictions = [VehiclePrediction() for _ in range(self.M)]
 
-        # static input-box structure for the QP kernel's GEMM split (opt-in)
-        self._qp_box = (self.problem.input_box_structure()
-                        if getattr(params, 'qp_box_split', False) else None)
+        # static input-box / state-pair structure for the QP kernel's GEMM split (opt-in)
+        _split = getattr(params, 'qp_box_split', False)
+        self._qp_box = self.problem.input_box_structure() if _split else None
+        self._qp_pairs = self.problem.state_pair_structure() if _split else None
+        if self._qp_pairs is not None and not self._qp_pairs[0]:
+            self._qp_pairs = None
 
         self._solve_jit = jax.jit(self._solve_core)
         self._solve_batch_jit = jax.jit(jax.vmap(self._solve_core))
@@ -209,7 +212,8 @@ class DGSQP:
                        max_iters=self.params.qp_max_iters,
                        polish_iters=getattr(self.params, 'qp_polish_iters', 4),
                        warm=warm, indefinite=(method == 'none'),
-                       box=getattr(self, '_qp_box', None))
+                       box=getattr(self, '_qp_box', None),
+                       pairs=getattr(self, '_qp_pairs', None))
         # The reference takes whatever step its QP backend returns — it sets
         # error_on_fail=False and never inspects the OSQP return status, so 'qp_fail'
         # only fires on an exception (DGSQP.py:186,244-266).  Match that: reject the

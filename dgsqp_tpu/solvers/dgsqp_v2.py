@@ -107,9 +107,12 @@ class DGSQPV2:
         # subclass (reference DGSQP_v2_frenet_approx.py:727-786).
         self._approx_update = None
 
-        # static input-box structure for the QP kernel's GEMM split (opt-in)
-        self._qp_box = (self.problem.input_box_structure()
-                        if getattr(params, 'qp_box_split', False) else None)
+        # static input-box / state-pair structure for the QP kernel's GEMM split (opt-in)
+        _split = getattr(params, 'qp_box_split', False)
+        self._qp_box = self.problem.input_box_structure() if _split else None
+        self._qp_pairs = self.problem.state_pair_structure() if _split else None
+        if self._qp_pairs is not None and not self._qp_pairs[0]:
+            self._qp_pairs = None
 
         self._solve_jit = jax.jit(self._solve_core)
         self._solve_batch_jit = jax.jit(jax.vmap(self._solve_core))
@@ -173,7 +176,8 @@ class DGSQPV2:
     def _qp(self, Q, q, G, g, reg):
         Qh = nearest_pd(Q) + reg * jnp.eye(self.n_dec, dtype=self.dtype)
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol if hasattr(self.params, 'qp_tol')
-                       else 1e-8, max_iters=50, box=getattr(self, '_qp_box', None))
+                       else 1e-8, max_iters=50, box=getattr(self, '_qp_box', None),
+                       pairs=getattr(self, '_qp_pairs', None))
         return sol.x, sol.lam, sol.ok
 
     def _line_search(self, enabled, u, du, l, dl, s, mu, mem_max, x0, up, P):

@@ -307,6 +307,28 @@ class GameProblem:
                     cols.append(base_col + int(j))
         return tuple(int(r) for r in rows), tuple(int(c) for c in cols)
 
+    def state_pair_structure(self):
+        """Static (rows_plus, rows_minus) of paired state-bound rows of ``G``.
+
+        A state upper bound ``x_j - ub <= 0`` has gradient ``+Du_x_j`` and the matching
+        lower bound ``lb - x_j <= 0`` has gradient ``-Du_x_j`` — exact negations at every
+        iterate.  The QP kernel folds each pair into ONE row of the IPM normal-matrix
+        GEMM with combined weight (``solve_qp(pairs=...)``).  Only state indices present
+        in BOTH the ub and lb lists are paired; state bounds exist for stages k=1..N-1
+        and the terminal stage (k=0 states are fixed by the IC; see ``_count_rows``).
+        """
+        rows_p, rows_m = [], []
+        for k in range(1, self.N + 1):
+            for a in range(self.M):
+                _, _, _, sub, slb = self._block_offsets(a, k)
+                ub_idx = [int(j) for j in self.state_ub_idxs[a]]
+                lb_idx = [int(j) for j in self.state_lb_idxs[a]]
+                for pu, j in enumerate(ub_idx):
+                    if j in lb_idx:
+                        rows_p.append(sub + pu)
+                        rows_m.append(slb + lb_idx.index(j))
+        return tuple(rows_p), tuple(rows_m)
+
     def _build_plan(self):
         """Precompute vmap groups and destination index maps for vectorized assembly."""
         N, M = self.N, self.M

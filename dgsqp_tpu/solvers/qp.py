@@ -90,10 +90,10 @@ def _ruiz_equilibrate(Q, A, E=None, iters: int = 3):
 
 
 @partial(jax.jit, static_argnames=('max_iters', 'scale', 'polish_iters', 'indefinite',
-                                   'box'))
+                                   'box', 'pairs'))
 def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
              scale: bool = True, polish_iters: int = 4, warm=None,
-             indefinite: bool = False, box=None) -> QPSolution:
+             indefinite: bool = False, box=None, pairs=None) -> QPSolution:
     """Solve one QP instance.  ``vmap`` over leading axes of (Q, q, A, b) for batches.
 
     ``Q`` must be symmetric positive definite (the SQP layer guarantees this via
@@ -114,11 +114,19 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     nullspace).
 
     ``box``: optional static ``(rows, cols)`` int tuples marking rows of ``A`` that are
-    structurally single-nonzero (e.g. input-box constraints — 208 of the chicane's 525
+    structurally single-nonzero (e.g. input-box constraints — 200 of the chicane's 525
     rows; ``GameProblem.input_box_structure``).  Such rows contribute ``d_i A[r,c]^2``
     to the diagonal of the IPM normal matrix, so the per-iteration ``(A' D A)`` GEMM —
     ~85% of the IPM's FLOPs — runs on the general rows only, with the box rows folded
     in by a scatter-add.  Mathematically identical to ``box=None``.
+
+    ``pairs``: optional static ``(rows_plus, rows_minus)`` int tuples marking row pairs
+    with ``A[rows_minus[i]] == c_i * A[rows_plus[i]]`` for some scalar ``c_i`` (exact
+    negations ``c_i = -1`` before scaling — e.g. state upper/lower bound rows, which are
+    ``±Du_x``; ``GameProblem.state_pair_structure``).  Each pair contributes
+    ``(d_p + c_i^2 d_m) a a'`` to the normal matrix, so only one GEMM row per pair is
+    needed; ``c_i^2`` is recovered from row norms, which keeps the fold exact under the
+    Ruiz row scaling.  Mathematically identical to ``pairs=None``.
     """
     n = q.shape[-1]
     m = b.shape[-1]
@@ -152,7 +160,7 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         warm_s = None if warm is None else (warm[0] / e_r, warm[1] * e_r)
         inner = solve_qp(Qs, qs, As, bs, tol, max_iters, scale=False,
                          polish_iters=polish_iters, warm=warm_s,
-                         indefinite=indefinite, box=box)
+                         indefinite=indefinite, box=box, pairs=pairs)
         x = inner.x * d_x
         lam = inner.lam * e_r
         # re-certify on the ORIGINAL data (the scaled residual is not the true one)
@@ -177,19 +185,30 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     eps_floor = 1e-14 if dtype == jnp.float64 else 1e-7
     d_cap = 1e14 if dtype == jnp.float64 else 1e7
 
-    if box is not None:
-        # split the structurally single-nonzero rows out of the normal-equation GEMM:
-        # row r with sole entry A[r,c] adds d_r * A[r,c]^2 to K[c,c] (scatter handles
-        # duplicate columns, e.g. ub+lb rows of the same input)
-        _box_rows = np.asarray(box[0], dtype=int)
-        _box_cols = np.asarray(box[1], dtype=int)
-        _gen_rows = np.setdiff1d(np.arange(m), _box_rows)
-        A_g = A[_gen_rows]
+    if box is not None or pairs is not None:
+        # Split structured rows out of the normal-equation GEMM.  Box rows (single
+        # nonzero A[r,c]) add d_r * A[r,c]^2 to K[c,c] (scatter handles duplicate
+        # columns, e.g. ub+lb rows of the same input).  Pair rows (A[m] = c*A[p])
+        # collapse to one GEMM row with weight d_p + c^2 d_m; c^2 is taken from row
+        # norms so the fold stays exact under Ruiz row scaling.
+        _box_rows = np.asarray(box[0] if box else (), dtype=int)
+        _box_cols = np.asarray(box[1] if box else (), dtype=int)
+        _p_rows = np.asarray(pairs[0] if pairs else (), dtype=int)
+        _m_rows = np.asarray(pairs[1] if pairs else (), dtype=int)
+        _gen_rows = np.setdiff1d(
+            np.arange(m), np.concatenate([_box_rows, _p_rows, _m_rows]))
+        _eff_rows = np.concatenate([_gen_rows, _p_rows])
+        A_e = A[_eff_rows]
         _box_v2 = A[_box_rows, _box_cols] ** 2
+        _pair_c2 = (jnp.sum(A[_m_rows] ** 2, axis=-1)
+                    / jnp.maximum(jnp.sum(A[_p_rows] ** 2, axis=-1), 1e-30))
 
         def _normal_matrix(d):
-            K = Q + (A_g.T * d[_gen_rows]) @ A_g
-            return K.at[_box_cols, _box_cols].add(d[_box_rows] * _box_v2)
+            w = jnp.concatenate([d[_gen_rows], d[_p_rows] + _pair_c2 * d[_m_rows]])
+            K = Q + (A_e.T * w) @ A_e
+            if _box_rows.size:
+                K = K.at[_box_cols, _box_cols].add(d[_box_rows] * _box_v2)
+            return K
     else:
         def _normal_matrix(d):
             return Q + (A.T * d) @ A
@@ -525,10 +544,11 @@ def solve_elastic_qp(Q, q, A, b, eta: float = 1e3, rho: float = 1e3,
         min 1/2 x'Qx + q'x + eta*1's + rho/2 s's   s.t.  Ax - s <= b,  s >= 0
 
     Parity item for the reference's elastic-mode machinery, which builds exactly these
-    augmented (Qem, qem, Gem, gem) matrices plus a second conic solver but never wires them
-    into the solve loop (``DGSQP_v2.py:195-197,1169-1191``); here it is available as a
-    recovery path when the nominal QP is infeasible.  Duals returned are those of the
-    original rows.
+    augmented (Qem, qem, Gem, gem) matrices plus a second conic solver but never wires
+    them into the solve loop (``DGSQP_v2.py:195-197,1169-1191``).  Matching that, no
+    solver here calls it from the hot path either (a batched ``lax.cond`` retry would
+    execute for the whole vmap batch); it is exposed for host-side retry cascades and
+    offline triage of ``qp_fail`` games.  Duals returned are those of the original rows.
     """
     n = q.shape[-1]
     m = b.shape[-1]

@@ -197,6 +197,31 @@ def test_box_split_matches_dense_kernel():
     np.testing.assert_allclose(np.asarray(split.lam), np.asarray(dense.lam), atol=1e-5)
 
 
+def test_pair_split_matches_dense_kernel():
+    """solve_qp(pairs=...) folds exact-negation row pairs into one GEMM row; the result
+    must match the dense kernel (same math, different assembly)."""
+    rng = np.random.default_rng(11)
+    n, m_gen, n_pair = 18, 20, 7
+    Q, q, A_gen, b_gen, x_star, _ = _rand_qp(rng, n, m_gen)
+    # pair rows: A_m = -A_p exactly; bounds anchored at x_star (tight ub on some rows,
+    # loose lb) so the combined problem is feasible with a mix of active/inactive rows
+    A_p = rng.standard_normal((n_pair, n))
+    ub_slack = np.where(rng.random(n_pair) < 0.5, 0.0, rng.random(n_pair) + 0.1)
+    b_p = A_p @ x_star + ub_slack
+    b_m = -(A_p @ x_star) + rng.random(n_pair) + 0.1
+    A = np.vstack([A_gen, A_p, -A_p])
+    b = np.concatenate([b_gen, b_p, b_m])
+    pairs = (tuple(range(m_gen, m_gen + n_pair)),
+             tuple(range(m_gen + n_pair, m_gen + 2 * n_pair)))
+
+    dense = solve_qp(jnp.asarray(Q), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b))
+    split = solve_qp(jnp.asarray(Q), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b),
+                     pairs=pairs)
+    assert bool(dense.ok) and bool(split.ok)
+    np.testing.assert_allclose(np.asarray(split.x), np.asarray(dense.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(split.lam), np.asarray(dense.lam), atol=1e-5)
+
+
 def test_game_problem_input_box_structure():
     """input_box_structure rows are exactly the single-nonzero +-1 rows of the numeric
     G at the declared columns, and the split solver matches the dense one end-to-end."""
@@ -212,6 +237,8 @@ def test_game_problem_input_box_structure():
                    sc.shared_constraints, sc.bounds, params, print_method=None)
     rows, cols = solver.problem.input_box_structure()
     assert len(rows) > 0
+    rows_p, rows_m = solver.problem.state_pair_structure()
+    assert len(rows_p) > 0
 
     u0, l0, x0, up = build_bench_batch(sc, solver, 2, seed=3)
     _, G, _ = jax.vmap(lambda u, l, x, p: solver._eval_lite(u, l, x, p, None))(
@@ -223,6 +250,13 @@ def test_game_problem_input_box_structure():
     masked = G0[rows_a].copy()
     masked[np.arange(len(rows_a)), cols_a] = 0.0
     np.testing.assert_allclose(masked, 0.0, atol=1e-10)
+
+    # the declared state pairs are exact negations in the numeric G, and disjoint
+    # from the box rows
+    np.testing.assert_allclose(G0[np.asarray(rows_p)], -G0[np.asarray(rows_m)],
+                               atol=1e-10)
+    assert np.max(np.abs(G0[np.asarray(rows_p)])) > 0.0
+    assert not (set(rows_p) | set(rows_m)) & set(rows)
 
     # end-to-end: box-split solve matches the dense solve on this batch
     params_d = params.copy()
