@@ -176,42 +176,62 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         t_out = jnp.maximum(b - A @ x, 1e-14 if dtype == jnp.float64 else 1e-7)
         return QPSolution(x, lam, t_out, ok, inner.iters, res)
 
-    def residuals(x, lam, t):
-        r_d = Q @ x + q + A.T @ lam
-        r_p = A @ x + t - b
-        mu = jnp.dot(t, lam) / m
-        return r_d, r_p, mu
-
     eps_floor = 1e-14 if dtype == jnp.float64 else 1e-7
     d_cap = 1e14 if dtype == jnp.float64 else 1e7
 
     if box is not None or pairs is not None:
         # Split structured rows out of the normal-equation GEMM.  Box rows (single
-        # nonzero A[r,c]) add d_r * A[r,c]^2 to K[c,c] (scatter handles duplicate
-        # columns, e.g. ub+lb rows of the same input).  Pair rows (A[m] = c*A[p])
-        # collapse to one GEMM row with weight d_p + c^2 d_m; c^2 is taken from row
-        # norms so the fold stays exact under Ruiz row scaling.
+        # nonzero A[r,c]) add d_r * A[r,c]^2 to K[c,c]; pair rows (A[m] = c*A[p])
+        # collapse to one GEMM row with weight d_p + c^2 d_m, where c^2 is taken from
+        # row norms so the fold stays exact under Ruiz row scaling.  The rows are
+        # PERMUTED once here into [general, pair+, pair-, box] order and the whole IPM
+        # (and polish) runs in permuted space — every per-iteration selection is then a
+        # static slice, and the box diagonal update is a one-hot matmul + diag add:
+        # no gathers or matrix scatters inside the hot loop.  Duals/slacks are
+        # unpermuted on return.
         _box_rows = np.asarray(box[0] if box else (), dtype=int)
         _box_cols = np.asarray(box[1] if box else (), dtype=int)
         _p_rows = np.asarray(pairs[0] if pairs else (), dtype=int)
         _m_rows = np.asarray(pairs[1] if pairs else (), dtype=int)
         _gen_rows = np.setdiff1d(
             np.arange(m), np.concatenate([_box_rows, _p_rows, _m_rows]))
-        _eff_rows = np.concatenate([_gen_rows, _p_rows])
-        A_e = A[_eff_rows]
-        _box_v2 = A[_box_rows, _box_cols] ** 2
-        _pair_c2 = (jnp.sum(A[_m_rows] ** 2, axis=-1)
-                    / jnp.maximum(jnp.sum(A[_p_rows] ** 2, axis=-1), 1e-30))
+        _perm = np.concatenate([_gen_rows, _p_rows, _m_rows, _box_rows])
+        _inv = np.argsort(_perm)
+        ng, npair, nbox = len(_gen_rows), len(_p_rows), len(_box_rows)
+        A = A[_perm]
+        b = b[_perm]
+        if warm is not None:
+            warm = (warm[0][_perm], warm[1][_perm])
+        A_e = A[:ng + npair]
+        _box_v2 = A[ng + 2 * npair:][np.arange(nbox), _box_cols] ** 2
+        _pair_c2 = (jnp.sum(A[ng + npair:ng + 2 * npair] ** 2, axis=-1)
+                    / jnp.maximum(jnp.sum(A[ng:ng + npair] ** 2, axis=-1), 1e-30))
+        _S_onehot = np.zeros((n, nbox), dtype=np.float64)
+        _S_onehot[_box_cols, np.arange(nbox)] = 1.0
+        _S_onehot = jnp.asarray(_S_onehot, dtype)
 
         def _normal_matrix(d):
-            w = jnp.concatenate([d[_gen_rows], d[_p_rows] + _pair_c2 * d[_m_rows]])
+            w = jnp.concatenate(
+                [d[:ng], d[ng:ng + npair] + _pair_c2 * d[ng + npair:ng + 2 * npair]])
             K = Q + (A_e.T * w) @ A_e
-            if _box_rows.size:
-                K = K.at[_box_cols, _box_cols].add(d[_box_rows] * _box_v2)
+            if nbox:
+                K = K + jnp.diag(_S_onehot @ (d[ng + 2 * npair:] * _box_v2))
             return K
+
+        def _unperm(v):
+            return v[_inv]
     else:
         def _normal_matrix(d):
             return Q + (A.T * d) @ A
+
+        def _unperm(v):
+            return v
+
+    def residuals(x, lam, t):
+        r_d = Q @ x + q + A.T @ lam
+        r_p = A @ x + t - b
+        mu = jnp.dot(t, lam) / m
+        return r_d, r_p, mu
 
     def body(st: _IPMState) -> _IPMState:
         x, lam, t = st.x, st.lam, st.t
@@ -295,7 +315,7 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         sc = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
         ok = (res < 1e4 * tol * sc) & jnp.isfinite(res)
         t_out = jnp.maximum(b - A @ st.x, eps_floor)
-        return QPSolution(st.x, st.lam, t_out, ok, st.it, res)
+        return QPSolution(st.x, _unperm(st.lam), _unperm(t_out), ok, st.it, res)
 
     # ---- polish: exact solves on candidate active sets (OSQP-style).
     # Recovers high-accuracy primal AND dual without driving the IPM to tiny mu; the SQP
@@ -389,7 +409,7 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     scale = 1.0 + jnp.maximum(jnp.max(jnp.abs(q)), jnp.max(jnp.abs(b)))
     ok = (res < 1e4 * tol * scale) & jnp.isfinite(res)
     t_out = jnp.maximum(b - A @ x, eps_floor)
-    return QPSolution(x, lam, t_out, ok, st.it, res)
+    return QPSolution(x, _unperm(lam), _unperm(t_out), ok, st.it, res)
 
 
 def solve_qp_batch(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50) -> QPSolution:
