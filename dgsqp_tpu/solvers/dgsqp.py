@@ -213,7 +213,8 @@ class DGSQP:
                        polish_iters=getattr(self.params, 'qp_polish_iters', 4),
                        warm=warm, indefinite=(method == 'none'),
                        box=getattr(self, '_qp_box', None),
-                       pairs=getattr(self, '_qp_pairs', None))
+                       pairs=getattr(self, '_qp_pairs', None),
+                       correctors=getattr(self.params, 'qp_correctors', 0))
         # The reference takes whatever step its QP backend returns — it sets
         # error_on_fail=False and never inspects the OSQP return status, so 'qp_fail'
         # only fires on an exception (DGSQP.py:186,244-266).  Match that: reject the

@@ -177,7 +177,8 @@ class DGSQPV2:
         Qh = nearest_pd(Q) + reg * jnp.eye(self.n_dec, dtype=self.dtype)
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol if hasattr(self.params, 'qp_tol')
                        else 1e-8, max_iters=50, box=getattr(self, '_qp_box', None),
-                       pairs=getattr(self, '_qp_pairs', None))
+                       pairs=getattr(self, '_qp_pairs', None),
+                       correctors=getattr(self.params, 'qp_correctors', 0))
         return sol.x, sol.lam, sol.ok
 
     def _line_search(self, enabled, u, du, l, dl, s, mu, mem_max, x0, up, P):

@@ -109,6 +109,11 @@ class DGSQPParams(ControllerConfig):
     hessian_mode: str = 'ad'
     # PDAS polish iterations in the QP kernel (each is a QR-factored KKT solve)
     qp_polish_iters: int = 4
+    # Gondzio centrality correctors per IPM iteration (0 = plain Mehrotra): each
+    # reuses the iteration's factorization (one back-substitution + matvecs) to
+    # lengthen the step, cutting total IPM iterations — i.e. whole normal-matrix
+    # GEMMs + Cholesky factorizations.  Solution-identical at convergence.
+    qp_correctors: int = 0
     # exploit the input-box rows of G inside the QP kernel: single-nonzero rows
     # contribute a diagonal update to the IPM normal matrix instead of GEMM rows
     # (~40% of the chicane QP's rows are input bounds), cutting the dominant

@@ -27,6 +27,10 @@ run "stall15+qpws qp15"     DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH
 run "stall15+box"           DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_BOX=1
 run "stall15+qpws+box"      DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_BOX=1
 run "stall15+qpws+dp+box"   DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_HESS=dp DGSQP_BENCH_BOX=1
+# Gondzio correctors: on first-round QPs (CPU) they cut mean IPM iterations ~7% but
+# not the batch-max; worth re-measuring on TPU where mid-solve QPs run much longer
+run "stall15+corr2"         DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_CORR=2
+run "stall15+qpws+corr2"    DGSQP_BENCH_CHUNK=8  DGSQP_BENCH_QP_WS=1 DGSQP_BENCH_CORR=2
 
 # pick the best config: highest solves/s among configs whose conv_abs is within
 # 1 point of the best conv_abs (quality first, then speed)

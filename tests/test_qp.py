@@ -268,3 +268,52 @@ def test_game_problem_input_box_structure():
     np.testing.assert_array_equal(np.asarray(res_s.status), np.asarray(res_d.status))
     np.testing.assert_allclose(np.asarray(res_s.u), np.asarray(res_d.u),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_gondzio_correctors_match_and_save_iterations():
+    """correctors=k converges to the same KKT point, never in more iterations, and
+    strictly fewer summed over a set of instances (the point of the feature)."""
+    rng = np.random.default_rng(7)
+    it0_sum = it2_sum = 0
+    for i in range(8):
+        n, m = 30, 90
+        Q, q, A, b, x_star, lam_star = _rand_qp(rng, n, m)
+        args = (jnp.asarray(Q), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b))
+        s0 = solve_qp(*args)
+        s2 = solve_qp(*args, correctors=2)
+        assert bool(s2.ok), f'instance {i} failed, res={float(s2.res)}'
+        np.testing.assert_allclose(np.asarray(s2.x), x_star, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(s2.lam), lam_star, atol=2e-4)
+        # polish-free: the IPM point itself still certifies at its own tolerance
+        s2_raw = solve_qp(*args, polish_iters=0, correctors=2)
+        np.testing.assert_allclose(np.asarray(s2_raw.x), x_star, atol=1e-3)
+        assert int(s2.iters) <= int(s0.iters)
+        it0_sum += int(s0.iters)
+        it2_sum += int(s2.iters)
+    assert it2_sum < it0_sum, (it0_sum, it2_sum)
+
+
+def test_gondzio_correctors_with_box_split_and_warm():
+    """correctors compose with the structured-row fold and warm starts."""
+    rng = np.random.default_rng(8)
+    n, m = 12, 30
+    Q, q, A, b, x_star, lam_star = _rand_qp(rng, n, m)
+    # make rows 0..3 single-nonzero (input-box-like) without changing the solution
+    box_rows = np.array([0, 1, 2, 3])
+    box_cols = np.array([0, 1, 2, 1])
+    A[box_rows] = 0.0
+    A[box_rows, box_cols] = 1.0
+    b[box_rows] = np.abs(x_star[box_cols]) + 1.0  # inactive, keeps x_star optimal
+    lam_star[box_rows] = 0.0
+    q = -(Q @ x_star + A.T @ lam_star)
+    args = (jnp.asarray(Q), jnp.asarray(q), jnp.asarray(A), jnp.asarray(b))
+    ref = solve_qp(*args)
+    sol = solve_qp(*args, correctors=2,
+                   box=(tuple(box_rows.tolist()), tuple(box_cols.tolist())))
+    assert bool(sol.ok)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x), atol=1e-6)
+    warm_sol = solve_qp(*args, correctors=2, warm=(ref.lam, ref.t),
+                        box=(tuple(box_rows.tolist()), tuple(box_cols.tolist())))
+    assert bool(warm_sol.ok)
+    np.testing.assert_allclose(np.asarray(warm_sol.x), np.asarray(ref.x), atol=1e-6)
+    assert int(warm_sol.iters) <= int(sol.iters)
