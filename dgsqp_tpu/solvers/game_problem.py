@@ -594,8 +594,11 @@ class GameProblem:
                 idx = self.input_lb_idxs[a]
                 G0[np.asarray(self._ilb_dest[a]).reshape(-1)] = \
                     -Sa[:, idx, :].reshape(-1, nd)
-        self._dp_sel = (jnp.asarray(S, self.dtype), jnp.asarray(Sm, self.dtype),
-                        jnp.asarray(G0, self.dtype))
+        # cache HOST arrays: the first call may happen inside a jit trace, where
+        # jnp.asarray's dtype conversion stages a tracer — caching that leaks it into
+        # every later trace (UnexpectedTracerError in the chunked driver's second jit)
+        self._dp_sel = (np.asarray(S, dtype=self.dtype), np.asarray(Sm, dtype=self.dtype),
+                        np.asarray(G0, dtype=self.dtype))
         return self._dp_sel
 
     def evaluate_dp(self, u_flat, l, x0, u_prev, P=None, hessian: bool = True):
@@ -623,7 +626,9 @@ class GameProblem:
         uma = [jnp.concatenate([u_prev[self.u_offsets[a]:self.u_offsets[a + 1]][None],
                                 ua[a][:-1]], axis=0) for a in range(M)]
         x = self.rollout(u_flat, x0)
-        S, Sm, G0 = self._dp_plan()
+        # plan is cached as HOST arrays; convert inside the CURRENT trace so nothing
+        # staged in one jit leaks into the next
+        S, Sm, G0 = (jnp.asarray(a) for a in self._dp_plan())
 
         A = jax.vmap(lambda q_, u_: jax.jacfwd(jd.fd, argnums=0)(q_, u_))(x[:-1], u_mat)
         B = jax.vmap(lambda q_, u_: jax.jacfwd(jd.fd, argnums=1)(q_, u_))(x[:-1], u_mat)

@@ -189,3 +189,20 @@ def test_evaluate_dp_matches_ad_chicane():
     np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), atol=1e-9)
     np.testing.assert_allclose(np.asarray(G2), np.asarray(G1), atol=1e-9)
     np.testing.assert_allclose(np.asarray(Q2), np.asarray(Q1), atol=1e-7)
+
+
+def test_evaluate_dp_two_separate_jits(problem):
+    """Regression: the first evaluate_dp call may happen INSIDE a jit trace (the chunked
+    driver's round body); the cached selector plan must not capture tracers, or the
+    second, separately-jitted call dies with UnexpectedTracerError."""
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.normal(0.0, 0.5, problem.n_dec))
+    lam = jnp.asarray(rng.uniform(0.0, 1.0, problem.n_c_total))
+    x0 = jnp.asarray([0.3, -0.2])
+    up = jnp.zeros(problem.n_u)
+
+    problem.__dict__.pop('_dp_sel', None)   # force the plan build inside the first trace
+    r1 = jax.jit(lambda *a: problem.evaluate_dp(*a, hessian=True))(u, lam, x0, up, None)
+    r2 = jax.jit(lambda uu: problem.evaluate_dp(uu, lam, x0, up, None, hessian=True))(u)
+    np.testing.assert_allclose(np.asarray(r2[0]), np.asarray(r1[0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r2[3]), np.asarray(r1[3]), atol=1e-12)
