@@ -121,7 +121,9 @@ def main():
     ch = getattr(solver, 'last_chunk_history', None)
     if ch:
         prof = [c['running'] for c in ch]
-        print(f'# chunks: {len(ch)} | running-after-chunk: {prof}', file=sys.stderr)
+        walls = [c.get('wall_s') for c in ch]
+        print(f'# chunks: {len(ch)} | running-after-chunk: {prof} | '
+              f'chunk-walls: {walls}', file=sys.stderr)
 
     target_per_chip = 500.0 / 16.0
     print(json.dumps({

@@ -30,8 +30,8 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                                merit_decrease_condition='max', qp_tol=qp_tol,
                                stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 0)) or None,
                                hessian_mode=os.environ.get('DGSQP_BENCH_HESS', 'ad'),
-                               qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '0') == '1',
-                               qp_correctors=int(os.environ.get('DGSQP_BENCH_CORR', 0)))
+                               qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '1') == '1',
+                               qp_correctors=int(os.environ.get('DGSQP_BENCH_CORR', 2)))
         solver = DGSQPV2(sc.joint_model, sc.costs, sc.agent_constraints,
                          sc.shared_constraints, sc.bounds, params, print_method=None)
     else:
@@ -60,10 +60,14 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                              # cross-round IPM warm start (flat execution)
                              qp_warm_start=os.environ.get('DGSQP_BENCH_QP_WS', '0') == '1',
                              # fold input-box rows of G into the IPM normal matrix as a
-                             # diagonal update (200/525 rows at this config), and pair the ±Du_x state-bound rows
-                             qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '0') == '1',
-                             # Gondzio centrality correctors per IPM iteration
-                             qp_correctors=int(os.environ.get('DGSQP_BENCH_CORR', 0)),
+                             # diagonal update (200/525 rows at this config), and pair the
+                             # ±Du_x state-bound rows.  Default ON: measured on TPU at
+                             # 23.43 vs 22.45 solves/s/chip with identical statuses
+                             # (results/bench_sweep_r2d.jsonl, config stall15+box+corr2)
+                             qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '1') == '1',
+                             # Gondzio centrality correctors per IPM iteration (part of the
+                             # measured-best r2d config; see qp_box_split note)
+                             qp_correctors=int(os.environ.get('DGSQP_BENCH_CORR', 2)),
                              # 'ad' (fwd-over-rev sweep) or 'dp' (stagewise GEMM assembly)
                              hessian_mode=os.environ.get('DGSQP_BENCH_HESS', 'ad'))
         solver = DGSQP(sc.joint_model, sc.costs, sc.agent_constraints,

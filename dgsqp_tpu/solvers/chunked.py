@@ -135,12 +135,15 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         scatter_idx = to_dev(jnp.asarray(np.where(valid_h, idx_h, B0), jnp.int32))
         return scatter_into(store, carry, scatter_idx)
 
+    import time as _time
     for i in range(max_chunks):
+        _t0 = _time.time()
         carry = chunk_fn(carry, x0_c, up_c)
         status_h = np.asarray(getattr(carry, status_field))   # tiny transfer
         running = (status_h == running_status) & valid_h
         n_run = int(running.sum())
-        history.append(dict(chunk=i, running=n_run, batch=int(valid_h.size)))
+        history.append(dict(chunk=i, running=n_run, batch=int(valid_h.size),
+                            wall_s=round(_time.time() - _t0, 3)))
         if verbose:
             print_method(f'chunk {i}: {n_run} games still running (batch {valid_h.size})')
         if n_run == 0:

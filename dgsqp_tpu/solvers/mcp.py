@@ -1,17 +1,40 @@
-"""Mixed-complementarity baseline: semismooth Newton on the GNE KKT system.
+"""Mixed-complementarity baseline: globalized semismooth Newton on the GNE KKT system.
 
 The reference formulates the game KKT conditions as an MCP ``F(z) ⊥ lb <= z <= ub`` with
 ``z = (u, l)``, ``F = [D_{u^a}L^a stacked; -C]`` and ships it to the proprietary Julia PATH
 solver through pyjulia (``/root/reference/DGSQP/solvers/PATHMCP.py:44-791``).  PATH cannot be
-redistributed, so this module provides the comparison capability with our own solver: a
-damped semismooth Newton method on the Fischer-Burmeister reformulation
+redistributed, so this module provides the comparison capability with our own solver on the
+penalized Fischer-Burmeister reformulation
 
-    Phi(z) = [ F_u(u, l);  phi(l, -C(u)) ],    phi(a, b) = a + b - sqrt(a^2 + b^2 + eps^2)
+    Phi(z) = [ F_u(u, l);  phi(l, -C(u)) ]
+    phi(a, b) = lam * (a + b - sqrt(a^2 + b^2 + eps^2)) + (1 - lam) * a_+ b_+
 
 whose roots are exactly the MCP solutions (u free, l >= 0 complementary with -C >= 0).
 ``F_u = q + G'l`` and its Jacobian blocks (the game Hessian Q and G) come from the same
 condensed evaluation machinery DGSQP uses, mirroring how the reference shares its symbolic
 factory between DGSQP and PATHMCP (``PATHMCP.py:401-762``).
+
+PATH's robustness comes from its globalization, not its Newton core (nonmonotone watchdog
+path search, crash/restart heuristics, proximal perturbation — ``PATHMCP.py:168-266``
+exposes the corresponding options).  The equivalents here, all inside one jit/vmap-safe
+``lax.while_loop``:
+
+  * **Schur-reduced Newton step**: the (n_dec + n_c) semismooth system is eliminated to an
+    n_dec-size system through the diagonal ``D_a`` block — O((n_dec)^3) instead of
+    O((n_dec + n_c)^3) per iteration — with an adaptive Levenberg shift.
+  * **Descent safeguard**: the Newton direction is replaced by the exactly-scaled steepest
+    descent direction of the FB merit when it fails a directional-derivative test, so the
+    line search cannot wedge.
+  * **Nonmonotone Armijo** on the FB merit against the max of the last ``nonmono_memory``
+    accepted values (PATH's nonmonotone stationary-point strategy), evaluated on a parallel
+    backtracking grid with Jacobian-free merit trials.
+  * **Adaptive Levenberg regularization**: decreased on accepted steps, inflated on line
+    search failures.
+  * **Proximal-perturbation restarts** (PATH's ``proximal_perturbation``): on stagnation the
+    iterate is reset to the best point seen and the system is replaced by
+    ``Phi(z) + pert * (z - z_best)`` with an escalating-then-decaying ``pert``, changing the
+    basin without leaving the solution set (convergence is always tested on the
+    unperturbed residual).
 """
 from __future__ import annotations
 
@@ -78,26 +101,46 @@ class PATHMCP:
 
     # ----------------------------------------------------------------- core loop
     def _phi(self, a, b, eps):
-        return a + b - jnp.sqrt(a * a + b * b + eps * eps)
+        """Penalized Fischer-Burmeister NCP function (Chen-Chen-Kanzow)."""
+        lam = self.params.fb_lambda
+        fb = a + b - jnp.sqrt(a * a + b * b + eps * eps)
+        if lam >= 1.0:
+            return fb
+        return lam * fb + (1.0 - lam) * jnp.maximum(a, 0.0) * jnp.maximum(b, 0.0)
+
+    def _phi_derivs(self, a, b, eps):
+        """Clarke-generalized partial derivatives (D_a, D_b) of the penalized FB."""
+        lam = self.params.fb_lambda
+        r = jnp.sqrt(a * a + b * b + eps * eps)
+        Da = 1.0 - a / r
+        Db = 1.0 - b / r
+        if lam >= 1.0:
+            return Da, Db
+        ap = jnp.maximum(a, 0.0)
+        bp = jnp.maximum(b, 0.0)
+        Da = lam * Da + (1.0 - lam) * bp * (a > 0)
+        Db = lam * Db + (1.0 - lam) * ap * (b > 0)
+        return Da, Db
 
     def _solve_core(self, u0, l0, x0, up, P=None) -> MCPResult:
         p = self.params
         dtype = self.dtype
+        n_dec, n_c = self.n_dec, self.n_c
         eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-6, dtype)
+        reg_lo = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-7, dtype)
+        reg_hi = jnp.asarray(1e4, dtype)
+        W = p.line_search_iters
+        R = p.nonmono_memory
 
-        def Phi_and_jac(u, l):
-            Q, q, G, g, _ = self.problem.evaluate(u, l, x0, up, P, hessian=True)
-            Fu = q + G.T @ l
-            b = -g
-            phi = self._phi(l, b, eps)
-            r = jnp.sqrt(l * l + b * b + eps * eps)
-            Da = 1.0 - l / r
-            Db = 1.0 - b / r
-            top = jnp.concatenate([Q, G.T], axis=1)
-            bot = jnp.concatenate([-Db[:, None] * G, jnp.diag(Da)], axis=1)
-            J = jnp.concatenate([top, bot], axis=0)
-            Phi = jnp.concatenate([Fu, phi])
-            return Phi, J, g, Fu
+        def Phi_cheap(u, l):
+            """Jacobian-free Phi for merit trials (merit_terms: one shared fwd pass)."""
+            d, g = self.problem.merit_terms(u, l, x0, up, P)
+            return jnp.concatenate([d, self._phi(l, -g, eps)])
+
+        def merit_pert(u, l, pert, ref_u, ref_l):
+            Phi = Phi_cheap(u, l)
+            Phi = Phi + pert * jnp.concatenate([u - ref_u, l - ref_l])
+            return 0.5 * jnp.dot(Phi, Phi)
 
         class C(NamedTuple):
             u: jnp.ndarray
@@ -105,58 +148,155 @@ class PATHMCP:
             it: jnp.ndarray
             status: jnp.ndarray
             res: jnp.ndarray
-
-        n_z = self.n_dec + self.n_c
+            reg: jnp.ndarray        # adaptive Levenberg shift
+            pert: jnp.ndarray       # proximal perturbation strength
+            ref_u: jnp.ndarray      # proximal center
+            ref_l: jnp.ndarray
+            best_u: jnp.ndarray     # best UNPERTURBED residual seen
+            best_l: jnp.ndarray
+            best_res: jnp.ndarray
+            mem: jnp.ndarray        # (R,) last accepted perturbed merits
+            stall: jnp.ndarray      # consecutive iterations w/o material progress
+            restarts: jnp.ndarray
 
         def cond(c: C):
             return c.status == RUNNING
 
         def body(c: C) -> C:
             running = c.status == RUNNING
-            Phi, J, g, Fu = Phi_and_jac(c.u, c.l)
-            res = jnp.max(jnp.abs(Phi))
-            merit0 = 0.5 * jnp.dot(Phi, Phi)
-
+            # ---- full evaluation: Phi, Jacobian blocks
+            Q, q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=True)
+            Fu = q + G.T @ c.l
+            b = -g
+            phi = self._phi(c.l, b, eps)
+            Da, Db = self._phi_derivs(c.l, b, eps)
+            Phi0 = jnp.concatenate([Fu, phi])
+            res = jnp.max(jnp.abs(Phi0))                      # unperturbed residual
             solved = res < p.tol
-            diverged = (res > 1e8) | ~jnp.isfinite(res)
+            diverged = (res > 1e10) | ~jnp.isfinite(res)
 
-            Jr = J + p.reg * jnp.eye(n_z, dtype=dtype)
-            dz = jnp.linalg.solve(Jr, -Phi)
+            # perturbed system: Phi_p = Phi + pert*(z - ref), J_p = J + pert*I
+            du_ref = c.u - c.ref_u
+            dl_ref = c.l - c.ref_l
+            Phi_p = Phi0 + c.pert * jnp.concatenate([du_ref, dl_ref])
+            Fu_p = Fu + c.pert * du_ref
+            phi_p = phi + c.pert * dl_ref
+            merit0 = 0.5 * jnp.dot(Phi_p, Phi_p)
+
+            # ---- Schur-reduced Newton step on the perturbed system
+            #   [[Q + pert I, G'], [-Db G, Da + pert + reg]] [du; dl] = -[Fu_p; phi_p]
+            Dd = Da + c.pert + c.reg
+            w = Db / Dd                                        # (n_c,)
+            # K du = -Fu_p - G' (phi_p / Dd)  with K = Q + pert I + G' diag(w*Dd^0) ...
+            # Block elimination: dl = (-phi_p + Db*(G du)) / Dd, substituted into
+            #   (Q + (pert+reg) I) du + G' dl = -Fu_p
+            K = Q + (c.pert + c.reg) * jnp.eye(n_dec, dtype=dtype) + (G.T * w) @ G
+            rhs = -Fu_p + G.T @ (phi_p / Dd)
+            du = jnp.linalg.solve(K, rhs)
+            dl = (-phi_p + Db * (G @ du)) / Dd
+            dz = jnp.concatenate([du, dl])
             dz = jnp.where(jnp.isfinite(dz), dz, 0.0)
 
-            # Armijo on the FB merit 1/2||Phi||^2
-            def ls_cond(cc):
-                k, alpha, done = cc
-                return (~done) & (k < p.line_search_iters)
+            # ---- descent safeguard: gradient of the perturbed merit
+            # grad = J_p' Phi_p assembled blockwise (no (n_dec+n_c)^2 matrix formed)
+            grad_u = Q.T @ Fu_p + c.pert * Fu_p - G.T @ (Db * phi_p)
+            grad_l = G @ Fu_p + (Da + c.pert) * phi_p
+            grad = jnp.concatenate([grad_u, grad_l])
+            dpsi_newton = jnp.dot(grad, dz)
+            # exactly-scaled steepest descent: t* = ||grad||^2 / ||J grad||^2
+            Jg_u = Q @ grad_u + c.pert * grad_u + G.T @ grad_l
+            Jg_l = -Db * (G @ grad_u) + (Da + c.pert) * grad_l
+            Jg2 = jnp.dot(Jg_u, Jg_u) + jnp.dot(Jg_l, Jg_l)
+            g2 = jnp.dot(grad, grad)
+            t_star = g2 / jnp.maximum(Jg2, 1e-300)
+            dz_grad = -t_star * grad
+            use_grad = (dpsi_newton > -1e-9 * jnp.dot(dz, dz)) | \
+                ~jnp.isfinite(dpsi_newton)
+            dz = jnp.where(use_grad, dz_grad, dz)
+            dpsi = jnp.where(use_grad, -t_star * g2, dpsi_newton)
 
-            def ls_body(cc):
-                k, alpha, done = cc
-                u_t = c.u + alpha * dz[:self.n_dec]
-                l_t = c.l + alpha * dz[self.n_dec:]
-                Phi_t, _, _, _ = Phi_and_jac(u_t, l_t)
-                merit_t = 0.5 * jnp.dot(Phi_t, Phi_t)
-                ok = merit_t <= (1 - 2 * p.beta * alpha) * merit0
-                return (k + 1, jnp.where(ok | done, alpha, alpha * p.tau), done | ok)
+            # ---- nonmonotone Armijo on a parallel backtracking grid.  Unset memory
+            # slots (start / just-restarted, stored as +inf) count as the CURRENT
+            # merit, so the first step is plain monotone Armijo and later steps are
+            # compared against the max of the last R accepted merits (PATH's
+            # nonmonotone stationary-point strategy).
+            merit_ref = jnp.max(jnp.where(jnp.isfinite(c.mem), c.mem, merit0))
+            alphas = jnp.asarray(p.tau, dtype) ** jnp.arange(W, dtype=dtype)
 
-            _, alpha, ls_ok = jax.lax.while_loop(
-                ls_cond, ls_body, (jnp.asarray(0), jnp.asarray(1.0, dtype),
-                                   jnp.asarray(False)))
+            def merit_at(alpha):
+                return merit_pert(c.u + alpha * dz[:n_dec], c.l + alpha * dz[n_dec:],
+                                  c.pert, c.ref_u, c.ref_l)
+
+            merits = jax.vmap(merit_at)(alphas)
+            ok = merits <= merit_ref + p.beta * alphas * dpsi
+            any_ok = jnp.any(ok)
+            idx = jnp.where(any_ok, jnp.argmax(ok), W - 1)
+            alpha = alphas[idx]
+            merit_new = merits[idx]
 
             active = running & ~solved & ~diverged
-            u_n = jnp.where(active, c.u + alpha * dz[:self.n_dec], c.u)
-            l_n = jnp.where(active, c.l + alpha * dz[self.n_dec:], c.l)
+            u_n = jnp.where(active, c.u + alpha * dz[:n_dec], c.u)
+            l_n = jnp.where(active, c.l + alpha * dz[n_dec:], c.l)
+
+            # ---- adaptive regularization + stagnation accounting
+            reg_n = jnp.where(any_ok, jnp.maximum(c.reg * 0.25, reg_lo),
+                              jnp.minimum(c.reg * 10.0, reg_hi))
+            progressed = any_ok & (merit_new < 0.99 * merit0)
+            stall_n = jnp.where(progressed, 0, c.stall + 1)
+            mem_n = jnp.where(any_ok,
+                              jnp.concatenate([c.mem[1:], merit_new[None]]), c.mem)
+            pert_n = c.pert * p.pert_decay
+
+            # best-seen (unperturbed residual) tracking
+            better = res < c.best_res
+            best_u = jnp.where(better, c.u, c.best_u)
+            best_l = jnp.where(better, c.l, c.best_l)
+            best_res = jnp.where(better, res, c.best_res)
+
+            # ---- proximal-perturbation restart
+            do_restart = active & (stall_n >= p.stall_its) & \
+                (c.restarts < p.max_restarts)
+            pert_restart = jnp.asarray(p.pert0, dtype) * (3.0 ** c.restarts)
+            u_n = jnp.where(do_restart, best_u, u_n)
+            l_n = jnp.where(do_restart, best_l, l_n)
+            ref_u_n = jnp.where(do_restart, best_u, c.ref_u)
+            ref_l_n = jnp.where(do_restart, best_l, c.ref_l)
+            pert_n = jnp.where(do_restart, pert_restart, pert_n)
+            reg_n = jnp.where(do_restart, jnp.asarray(p.reg, dtype), reg_n)
+            mem_n = jnp.where(do_restart, jnp.full((R,), jnp.inf, dtype), mem_n)
+            stall_n = jnp.where(do_restart, 0, stall_n)
+            restarts_n = c.restarts + jnp.where(do_restart, 1, 0)
+
+            # stagnation past the restart budget terminates as max_it-style failure
+            exhausted = active & (stall_n >= p.stall_its) & \
+                (c.restarts >= p.max_restarts)
 
             it_next = c.it + jnp.where(active, 1, 0)
             new_status = jnp.where(solved, SOLVED,
                           jnp.where(diverged, DIVERGED,
-                           jnp.where(it_next >= p.max_iters, MAX_IT, RUNNING)))
+                           jnp.where((it_next >= p.max_iters) | exhausted, MAX_IT,
+                                     RUNNING)))
             status = jnp.where(running, new_status, c.status).astype(jnp.int32)
-            return C(u_n, l_n, it_next, status, jnp.where(running, res, c.res))
+            new = C(u_n, l_n, it_next, status, res, reg_n, pert_n,
+                    ref_u_n, ref_l_n, best_u, best_l, best_res, mem_n,
+                    stall_n, restarts_n)
+            return jax.tree_util.tree_map(
+                lambda nn, oo: jnp.where(running, nn, oo), new, c)
 
-        init = C(jnp.asarray(u0, dtype), jnp.maximum(jnp.asarray(l0, dtype), 0.0),
-                 jnp.asarray(0), jnp.asarray(RUNNING, jnp.int32),
-                 jnp.asarray(jnp.inf, dtype))
+        u0 = jnp.asarray(u0, dtype)
+        l0 = jnp.maximum(jnp.asarray(l0, dtype), 0.0)
+        init = C(u0, l0, jnp.asarray(0), jnp.asarray(RUNNING, jnp.int32),
+                 jnp.asarray(jnp.inf, dtype), jnp.asarray(p.reg, dtype),
+                 jnp.asarray(0.0, dtype), u0, l0, u0, l0,
+                 jnp.asarray(jnp.inf, dtype), jnp.full((R,), jnp.inf, dtype),
+                 jnp.asarray(0), jnp.asarray(0))
         c = jax.lax.while_loop(cond, body, init)
+
+        # return the best point seen, not the last iterate (PATH reports its best point)
+        take_best = ((c.best_res < c.res) | ~jnp.isfinite(c.res)) & (c.status != SOLVED)
+        c = c._replace(u=jnp.where(take_best, c.best_u, c.u),
+                       l=jnp.where(take_best, c.best_l, c.l),
+                       res=jnp.where(take_best, c.best_res, c.res))
 
         # final KKT conditions (reference re-evaluates outside Julia, PATHMCP.py:258-266)
         q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=False)

@@ -209,10 +209,17 @@ class PATHMCPParams(ControllerConfig):
     tol: float = 1e-8
     verbose: bool = False
     solver_name: str = 'MCP'
-    line_search_iters: int = 40
+    line_search_iters: int = 24
     beta: float = 1e-4
     tau: float = 0.5
-    reg: float = 1e-8
+    reg: float = 1e-6              # initial Levenberg shift (adapted in-loop)
+    # --- PATH-strength globalization (see solvers/mcp.py module docstring)
+    fb_lambda: float = 0.95        # penalized-FB weight (1.0 = plain FB)
+    nonmono_memory: int = 8        # nonmonotone Armijo reference window
+    stall_its: int = 6             # iterations without material progress -> restart
+    max_restarts: int = 4          # proximal-perturbation restart budget
+    pert0: float = 1e-2            # first restart's proximal perturbation
+    pert_decay: float = 0.5        # per-iteration perturbation decay
 
 
 @dataclass

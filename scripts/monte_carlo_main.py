@@ -62,6 +62,11 @@ def main():
         # update after import reliably pins the platform (DGSQP_PLATFORM=cpu for a
         # CPU-mesh run without claiming the TPU tunnel)
         jax.config.update('jax_platforms', os.environ['DGSQP_PLATFORM'])
+    if os.environ.get('DGSQP_X64') == '1':
+        # oracle-grade runs (ALGAMES/MCP cross-checks) need f64: the AL penalty climbs
+        # to rho=1e7, which is numerically hopeless in f32 — the reference baselines
+        # always ran f64 CPython/CasADi
+        jax.config.update('jax_enable_x64', True)
     jax.config.update('jax_default_matmul_precision', 'highest')
 
     from dgsqp_tpu.harness.mc_study import run_mc_study, analyze_results, save_results
