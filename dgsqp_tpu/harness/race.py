@@ -175,6 +175,11 @@ class RaceConfig:
     lookahead_window: int = 10
     n_steps: int = 50
     raceline_speed: float = 1.5
+    # recorded raceline (the reference demo tracks data/L_track_barc_raceline.npz,
+    # race_main.py:137-151); None falls back to the synthetic centerline, and
+    # time_scale slows the recorded line down (reference uses 1.38-1.45)
+    raceline_file: Optional[str] = 'L_track_barc_raceline.npz'
+    raceline_time_scale: float = 1.4
 
 
 class RaceStack:
@@ -184,7 +189,17 @@ class RaceStack:
         cfg = config or RaceConfig()
         self.cfg = cfg
         self.track = track if track is not None else get_track(cfg.track_name)
-        self.raceline = _centerline_raceline(self.track, v=cfg.raceline_speed)
+        self.raceline = None
+        if cfg.raceline_file and track is None:
+            # the recorded raceline is only valid on its own track
+            from pathlib import Path
+            from dgsqp_tpu.tracks.track_lib import load_mpclab_raceline
+            path = Path(__file__).parent / 'data' / cfg.raceline_file
+            if path.exists():
+                self.raceline, _, _ = load_mpclab_raceline(
+                    str(path), cfg.track_name, time_scale=cfg.raceline_time_scale)
+        if self.raceline is None:
+            self.raceline = _centerline_raceline(self.track, v=cfg.raceline_speed)
         self.L = self.track.track_length
 
         self.models, self.trackers = [], []
@@ -238,7 +253,15 @@ class RaceStack:
     def _maybe_solve_game(self, states):
         cfg = self.cfg
         if not self.solve_game:
-            return
+            # re-arm once both cars have exited the game segment (their refs are
+            # cleared by _raceline_ref when s passes s_lim) — the reference demo
+            # re-enables interaction detection every step a game is not active
+            # (race_main.py:495-578); the one-shot version had at most one
+            # intervention per race
+            if all(ref is None for ref in self.game_refs):
+                self.solve_game = True
+            else:
+                return
         t1 = float(self.raceline.s2t(np.mod(states[0].p.s, self.L)))
         t2 = float(self.raceline.s2t(np.mod(states[1].p.s, self.L)))
         la1 = np.stack([np.asarray(c) for c in self.raceline(

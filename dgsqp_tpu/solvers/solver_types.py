@@ -214,8 +214,11 @@ class PATHMCPParams(ControllerConfig):
     tau: float = 0.5
     reg: float = 1e-6              # initial Levenberg shift (adapted in-loop)
     # --- PATH-strength globalization (see solvers/mcp.py module docstring)
-    fb_lambda: float = 0.95        # penalized-FB weight (1.0 = plain FB)
-    nonmono_memory: int = 8        # nonmonotone Armijo reference window
+    # A/B-tuned on the chicane N=15 suite (scripts/mcp_tune.py): lam 0.8 + window 16
+    # converge 27/32 vs 22/32 for (0.95, 8); restarts are the largest single lever
+    # (7/32 without them)
+    fb_lambda: float = 0.8         # penalized-FB weight (1.0 = plain FB)
+    nonmono_memory: int = 16       # nonmonotone Armijo reference window
     stall_its: int = 6             # iterations without material progress -> restart
     max_restarts: int = 4          # proximal-perturbation restart budget
     pert0: float = 1e-2            # first restart's proximal perturbation

@@ -7,6 +7,23 @@ from dgsqp_tpu.tracks import CurveTrack
 
 
 @pytest.mark.slow
+def test_race_multi_intervention_real_raceline():
+    """The game planner re-arms after the cars exit a game segment: a longer race on the
+    shipped L_track_barc raceline must produce MULTIPLE converged interventions
+    (reference re-plans every time racelines re-converge, race_main.py:495-578).
+    Measured: 5 converged interventions in 80 steps (this config, CPU f64)."""
+    cfg = RaceConfig(control_dt=0.1, sim_dt=0.02, mpc_N=8, game_N=8,
+                     lookahead_time=0.4, lookahead_window=5, n_steps=80)
+    stack = RaceStack(cfg)
+    # the recorded raceline must actually have loaded (not the synthetic fallback)
+    assert stack.raceline.mat[:, 3].std() > 0.05, 'expected a varying-speed raceline'
+    stack.run()
+    conv = [g for g in stack.game_log
+            if g['info']['msg'] in ('conv_abs_tol', 'conv_rel_tol')]
+    assert len(conv) >= 2, stack.game_log
+
+
+@pytest.mark.slow
 def test_race_stack_runs():
     track = CurveTrack(enter_straight_length=4, curve_length=6,
                        curve_swept_angle=np.pi / 2, exit_straight_length=6,
