@@ -9,7 +9,20 @@ by that per-chip target.  The game configuration matches the reference MC study
 (``scripts/DGSQP_ALGAMES_monte_carlo_chicane.py``: N=25, theta=45deg, p/d_tol=1e-3).
 
 Env knobs: DGSQP_BENCH_BATCH (default 256), DGSQP_BENCH_N (25), DGSQP_BENCH_SOLVER
-(v1|v2, default v1), DGSQP_BENCH_CHUNK (8).
+(v1|v2, default v1), DGSQP_BENCH_CHUNK (8), DGSQP_BENCH_EXEC (full|chunked),
+DGSQP_BENCH_REPS (2).
+
+Execution mode: 'chunked' (default) runs fixed-trip-count fori_loop round chunks with
+host-side compaction between them.  Through the axon device tunnel every chunk boundary
+costs host round trips (~0.2-1 s each; measured device compute for the whole solve is
+~2-3 s while the chunked bench wall was 10-18 s), so the default CHUNK is large (40 =>
+160 rounds) — one chunk covers nearly the whole solve and the straggler tail still
+compacts.  'full' (one jitted program around the masked lax.while_loop) is NOT usable
+through the tunnel: a data-dependent while_loop trip count makes the axon runtime
+evaluate the loop condition host-side, one round trip per ROUND — the 256-game solve
+that takes ~3 s as fori chunks did not finish in 500 s as a while_loop (2026-08-19 run).
+The timed measurement is best-of-DGSQP_BENCH_REPS to damp tunnel-latency fluctuation
+(the same code measured 10.9 s and 18.0 s on different days).
 """
 import json
 import os
@@ -24,6 +37,8 @@ def main():
     horizon = int(os.environ.get('DGSQP_BENCH_N', 25))
     solver_name = os.environ.get('DGSQP_BENCH_SOLVER', 'v1')
     chunk = int(os.environ.get('DGSQP_BENCH_CHUNK', 8))
+    exec_mode = os.environ.get('DGSQP_BENCH_EXEC', 'chunked')
+    reps = max(1, int(os.environ.get('DGSQP_BENCH_REPS', 2)))
 
     import jax
     import jax.numpy as jnp
@@ -85,25 +100,38 @@ def main():
     dtype = solver.dtype
 
     print(f'# platform={platform} dtype={dtype.__name__} solver={solver_name} '
-          f'batch={batch} N={horizon} chunk={chunk}', file=sys.stderr)
+          f'batch={batch} N={horizon} chunk={chunk} exec={exec_mode} reps={reps}',
+          file=sys.stderr)
 
     # explicit accelerator placement for the hot path
     u0, l0, x0, up = build_bench_batch(sc, solver, batch, seed=0, device=accel)
 
-    def run(verbose=False):
-        res = solver.solve_batch_chunked(u0, l0, x0, up, chunk_iters=chunk,
-                                         verbose=verbose)
-        jax.block_until_ready(res)
-        return res
+    if exec_mode == 'full':
+        def run(verbose=False):
+            res = solver._solve_batch_jit(u0, l0, x0, up)
+            # block_until_ready is a NO-OP through the axon tunnel — force a real
+            # device->host pull (statuses are what any consumer reads first anyway)
+            np.asarray(res.status)
+            return res
+    else:
+        def run(verbose=False):
+            res = solver.solve_batch_chunked(u0, l0, x0, up, chunk_iters=chunk,
+                                             verbose=verbose)
+            np.asarray(res.status)
+            return res
 
     t0 = time.time()
     res = run(verbose=False)
     compile_and_first = time.time() - t0
     print(f'# first batch solve (incl compile): {compile_and_first:.1f}s', file=sys.stderr)
 
-    t0 = time.time()
-    res = run()
-    dur = time.time() - t0
+    dur = float('inf')
+    for rep in range(reps):
+        t0 = time.time()
+        res = run()
+        rep_dur = time.time() - t0
+        print(f'# timed solve rep{rep}: {rep_dur:.2f}s', file=sys.stderr, flush=True)
+        dur = min(dur, rep_dur)
 
     status = np.asarray(res.status)
     conv = np.isin(status, (CONV_ABS,)).mean()
@@ -138,6 +166,8 @@ def main():
         'horizon': horizon,
         'solver': solver_name,
         'platform': platform,
+        'exec': exec_mode,
+        'first_solve_s': round(compile_and_first, 1),
     }))
 
 

@@ -108,7 +108,10 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
     # Everything bulky stays ON DEVICE: the store is scatter-updated there, compaction is
     # a device-side gather, and the host only ever reads the per-game STATUS bytes (under
     # the axon tunnel every host<->device copy is a network hop — harvesting full carries
-    # through numpy dominated the solve wall-clock before this).
+    # through numpy dominated the solve wall-clock before this).  Each compaction event is
+    # ONE fused index upload + ONE jitted call (harvest scatter + carry gather + args
+    # gather together): the unfused version cost 3 uploads + 3 dispatches, ~0.25 s each
+    # through the tunnel (scripts/probe_driver_ops.py measurements).
     store = carry
     x0_all, up_all = jnp.asarray(x0), jnp.asarray(up)
     x0_c, up_c = x0_all, up_all
@@ -122,14 +125,28 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         return jax.tree_util.tree_map(
             lambda s, c: s.at[scatter_idx].set(c, mode='drop'), store, carry)
 
-    def _gather_tree(tree, pad_idx):
-        return jax.tree_util.tree_map(lambda a: a[pad_idx], tree)
+    def _compact(store, carry, x0_all, up_all, packed):
+        """packed = [scatter_idx (cur_size) | pad slots (bucket) | new orig idx (bucket)]."""
+        cur_size = jax.tree_util.tree_leaves(carry)[0].shape[0]
+        scatter_idx = packed[:cur_size]
+        bucket = (packed.shape[0] - cur_size) // 2
+        pad = packed[cur_size:cur_size + bucket]
+        new_idx = packed[cur_size + bucket:]
+        store = jax.tree_util.tree_map(
+            lambda s, c: s.at[scatter_idx].set(c, mode='drop'), store, carry)
+        carry = jax.tree_util.tree_map(lambda a: a[pad], carry)
+        # padding slots carry new_idx == B0: clamped gather reads game B0-1's args,
+        # harmless (their carry slots are pad duplicates never harvested)
+        args = jax.tree_util.tree_map(
+            lambda a: a[jnp.minimum(new_idx, B0 - 1)], (x0_all, up_all))
+        return store, carry, args[0], args[1]
 
     if batch_sh is not None:
-        # compacted bucket re-shards evenly over the mesh's batch axis
-        gather = jax.jit(_gather_tree, out_shardings=batch_sh)
+        # compacted bucket re-shards evenly over the mesh's batch axis; the harvest
+        # store keeps the full-batch sharding
+        compact = jax.jit(_compact, out_shardings=(None, batch_sh, batch_sh, batch_sh))
     else:
-        gather = jax.jit(_gather_tree)
+        compact = jax.jit(_compact)
 
     def harvest(carry):
         scatter_idx = to_dev(jnp.asarray(np.where(valid_h, idx_h, B0), jnp.int32))
@@ -152,16 +169,17 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         bucket = max(min_bucket, 1 << (n_run - 1).bit_length())
         bucket = -(-bucket // n_dev) * n_dev     # divisible by the mesh size
         if can_compact and bucket <= valid_h.size // 2:
-            store = harvest(carry)
             sel = np.where(running)[0]
             pad = np.concatenate([sel, np.repeat(sel[:1], bucket - sel.size)])
-            pad_dev = to_dev(jnp.asarray(pad, jnp.int32))
-            carry = gather(carry, pad_dev)
+            scatter_idx = np.where(valid_h, idx_h, B0)
             idx_h = idx_h[pad]
+            new_idx = idx_h.copy()
             valid_h = np.zeros(bucket, bool)
             valid_h[:sel.size] = True
-            idx_dev = to_dev(jnp.asarray(idx_h, jnp.int32))
-            x0_c, up_c = gather((x0_all, up_all), idx_dev)
+            new_idx[sel.size:] = B0
+            packed = to_dev(jnp.asarray(
+                np.concatenate([scatter_idx, pad, new_idx]), jnp.int32))
+            store, carry, x0_c, up_c = compact(store, carry, x0_all, up_all, packed)
     else:
         store = harvest(carry)
 
