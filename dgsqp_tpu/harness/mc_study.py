@@ -132,8 +132,13 @@ def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int
         u0 = np.asarray(jax.jit(jax.vmap(
             lambda u, x, p: ibr._solve_core(u, x, p, None).u))(
             jnp.asarray(u0), jnp.asarray(x0, dtype), jnp.asarray(up)))
-    l0 = np.asarray(jax.jit(jax.vmap(
-        lambda u, x, p: solver.problem.dual_warm_start(u, x, p)))(
+    def _dws(u, x, p):
+        # approximate-game solvers need their parameter pytree (contouring/boundary
+        # linearizations) built from the warm start before any constraint evaluate
+        Pv = solver._approx_update(u, x) \
+            if getattr(solver, '_approx_update', None) is not None else None
+        return solver.problem.dual_warm_start(u, x, p, P=Pv)
+    l0 = np.asarray(jax.jit(jax.vmap(_dws))(
         jnp.asarray(u0), jnp.asarray(x0, dtype), jnp.asarray(up)))
 
     mesh = games_mesh(n_devices)

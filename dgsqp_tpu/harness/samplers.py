@@ -14,7 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dgsqp_tpu.harness.warm_start import duel_warm_start, pid_warm_start
+from dgsqp_tpu.harness.warm_start import (duel_warm_start, pa_twins, pa_warm_start,
+                                           pid_warm_start)
 
 
 def sample_duel_initial_conditions(scenario, num_samples: int, seed: int = 0,
@@ -32,8 +33,17 @@ def sample_duel_initial_conditions(scenario, num_samples: int, seed: int = 0,
     obs_d = scenario.obs_d
     rng = np.random.default_rng(seed)
 
-    ws_batch = jax.jit(jax.vmap(
-        lambda q0, vr, lr: duel_warm_start(scenario, q0, vr, lr)))
+    twins = pa_twins(scenario)
+    if twins is None:
+        ws_batch = jax.jit(jax.vmap(
+            lambda q0, vr, lr: duel_warm_start(scenario, q0, vr, lr)))
+    else:
+        # progress-augmented scenario: PID rolls on combined twins; the returned x0 is
+        # converted to the PA layout inside pa_warm_start
+        def _pa(q0, vr, lr):
+            u_ws, x0_pa, coll = pa_warm_start(scenario, twins, q0, vr, lr)
+            return u_ws, x0_pa, coll
+        ws_batch = jax.jit(jax.vmap(_pa))
 
     xs, us, vrs, lrs = [], [], [], []
     need = num_samples
@@ -61,6 +71,8 @@ def sample_duel_initial_conditions(scenario, num_samples: int, seed: int = 0,
 
         u_ws, q_ws, collision = ws_batch(jnp.asarray(x0), jnp.asarray(v_ref),
                                          jnp.asarray(lat_ref))
+        if twins is not None:
+            x0 = np.asarray(q_ws)       # pa_warm_start returns the PA-layout x0 here
         ok = geo_ok & ~np.asarray(collision)
         idx = np.where(ok)[0][:need]
         if idx.size:

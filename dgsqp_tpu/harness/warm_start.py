@@ -102,3 +102,56 @@ def pid_warm_start(scenario, q0_joint, v_refs, lat_refs):
 
 # Backwards-compatible name for the 2-agent case.
 duel_warm_start = pid_warm_start
+
+
+def pa_twins(scenario):
+    """Combined-bicycle twins for warm-starting progress-augmented scenarios.
+
+    Returns None for plain 2-input scenarios; otherwise one ``KinematicBicycleCombined``
+    per PA agent, sharing its config and track — the reference warm-starts the
+    approximate game by rolling PID through the EXACT model and appending the arc-speed
+    channel (``comparison_study_barc/warm_start.py:79-121``).
+    """
+    models = scenario.joint_model.dynamics_models
+    if all(getattr(m, 'n_u', 2) == 2 for m in models):
+        return None
+    from dgsqp_tpu.dynamics.models import KinematicBicycleCombined
+    return [KinematicBicycleCombined(0.0, m.model_config, track=m.track)
+            for m in models]
+
+
+def pa_warm_start(scenario, twins, q0_joint, v_refs, lat_refs):
+    """PID warm start for progress-augmented (MPCC) scenarios.
+
+    ``q0_joint`` is in the COMBINED layout ([x, y, v, e_psi, s, x_tran] per agent, the
+    sampler's native frame).  Rolls the PID lane followers on the combined twins, then:
+
+      * per-agent inputs ``[u_a, u_steer]`` get the virtual arc speed appended as
+        ``u_ds_k = (s_{k+1} - s_k)/dt`` (reference ``warm_start.py:103-121``);
+      * the PA initial state is ``[x, y, v, psi, s]`` with global heading
+        ``psi = e_psi + track tangent angle at s``.
+
+    Returns (u_ws stage-ordered (N, 3M), x0_pa (5M,), collision flag).
+    """
+    N, dt = scenario.N, scenario.dt
+    off = 0
+    u_list, q_list, x0_list = [], [], []
+    for a, m in enumerate(twins):
+        q0 = q0_joint[off:off + 6]
+        u_seq, q_seq = pid_rollout(m, q0, v_refs[a], lat_refs[a], N, dt,
+                                   jnp.asarray(scenario.input_ub[:2]),
+                                   jnp.asarray(scenario.input_rate_ub[:2]))
+        ds = (q_seq[1:, 4] - q_seq[:-1, 4]) / dt
+        u_list.append(jnp.concatenate([u_seq, ds[:, None]], axis=1))
+        q_list.append(q_seq)
+        psi0 = q0[3] + m.track.tangent_angle(q0[4])
+        x0_list.append(jnp.stack([q0[0], q0[1], q0[2], psi0, q0[4]]))
+        off += 6
+    u_ws = jnp.concatenate(u_list, axis=1)
+    x0_pa = jnp.concatenate(x0_list)
+    collision = jnp.asarray(False)
+    for i in range(len(twins)):
+        for j in range(i + 1, len(twins)):
+            d = jnp.linalg.norm(q_list[i][:, 0:2] - q_list[j][:, 0:2], axis=1)
+            collision = collision | jnp.any(d < scenario.obs_d)
+    return u_ws, x0_pa, collision

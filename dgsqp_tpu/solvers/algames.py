@@ -494,6 +494,48 @@ class ALGAMES:
         self.last_chunk_history = history
         return res
 
+    def solve_batch_traced(self, q_ws, u_ws, x0, u_prev, num_iters=None,
+                           record_iterates: bool = False):
+        """Batched solve with a per-OUTER-iteration trace — the ALGAMES analog of
+        ``DGSQP.solve_batch_traced`` (the reference pickles the same quantities in its
+        ``iter_data``, ``ALGAMES.py:313-345``).
+
+        Runs the outer AL body under ``lax.scan`` for a FIXED ``num_iters`` so every
+        iteration's convergence quantities are captured.  Returns ``(ALGAMESResult,
+        trace)`` where ``trace`` holds (B, T)-shaped ``status, i, p_feas, comp, stat,
+        newton_solves, rho, du_norm, dlam_norm`` (+ ``u, lam`` of shape (B, T, n) with
+        ``record_iterates``).  Frozen games repeat their terminal row.
+        """
+        T = int(num_iters or self.params.outer_iters)
+        N, n_q, n_u = self.N, self.n_q, self.n_u
+
+        def one(qw, uw, x, u_p):
+            body = self._make_outer_body(x, u_p)
+            init = self._init_outer_carry(qw, uw)
+
+            def step(c, _):
+                c2 = body(c)
+                u_c = c.y[N * n_q:N * (n_q + n_u)]
+                u_n = c2.y[N * n_q:N * (n_q + n_u)]
+                rec = dict(status=c2.status, i=c2.i, p_feas=c2.p_feas, comp=c2.comp,
+                           stat=c2.stat, newton_solves=c2.newton_total, rho=c2.rho_val,
+                           du_norm=jnp.linalg.norm(u_n - u_c),
+                           dlam_norm=jnp.linalg.norm(c2.lam - c.lam))
+                if record_iterates:
+                    rec['u'] = u_n
+                    rec['lam'] = c2.lam
+                return c2, rec
+
+            c, trace = jax.lax.scan(step, init, None, length=T)
+            return self._finalize_outer(c, x), trace
+
+        if not hasattr(self, '_traced_jit'):
+            self._traced_jit = {}
+        key = (T, record_iterates)
+        if key not in self._traced_jit:
+            self._traced_jit[key] = jax.jit(jax.vmap(one))
+        return self._traced_jit[key](q_ws, u_ws, x0, u_prev)
+
     # ------------------------------------------------------------- host interface
     def initialize(self):
         pass

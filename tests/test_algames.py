@@ -87,3 +87,31 @@ def test_algames_matches_dgsqp_equilibrium():
     u_al = al_info['u_sol']                      # (N, 2) stage-ordered
     u_sq = np.asarray(sq.problem.u_to_stage(jnp.asarray(sq_info['u_sol'])))
     np.testing.assert_allclose(u_al, u_sq, atol=1e-5)
+
+
+def test_algames_traced_matches_untraced():
+    """The per-outer-iteration trace records the same terminal state as the plain solve
+    and captures monotone iteration counts (ALGAMES analog of DGSQP.solve_batch_traced)."""
+    joint, costs, shared_list, bounds = _game()
+    params = ALGAMESParams(N=N, dt=DT, outer_iters=30, newton_iters=50,
+                           line_search_iters=50, ineq_tol=1e-6, eq_tol=1e-6, opt_tol=1e-6,
+                           rho=1.0, gamma=10.0, rho_max=1e7, beta=0.01, tau=0.5,
+                           q_reg=1e-3, u_reg=1e-3)
+    solver = ALGAMES(joint, costs, shared_list, bounds, params, print_method=None)
+    B = 2
+    q_ws = jnp.zeros((B, N + 1, 2))
+    u_ws = jnp.zeros((B, N, 2))
+    x0 = jnp.zeros((B, 2))
+    u_prev = jnp.zeros((B, 2))
+    res, trace = solver.solve_batch_traced(q_ws, u_ws, x0, u_prev)
+    assert trace['status'].shape == (B, 30)
+    # terminal trace row equals the result
+    np.testing.assert_array_equal(np.asarray(trace['status'][:, -1]),
+                                  np.asarray(res.status))
+    np.testing.assert_allclose(np.asarray(trace['stat'][:, -1]),
+                               np.asarray(res.stat), rtol=1e-12)
+    assert np.all(np.asarray(res.status) == 1), np.asarray(res.status)
+    # iteration counter freezes after convergence (frozen games repeat terminal rows)
+    i_tr = np.asarray(trace['i'])
+    assert np.all(np.diff(i_tr, axis=1) >= 0)
+    np.testing.assert_array_equal(i_tr[:, -1], np.asarray(res.iters))

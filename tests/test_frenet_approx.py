@@ -38,3 +38,23 @@ def test_frenet_approx_converges():
     # progress increases for both
     assert x[-1, 4] > x[0, 4]
     assert x[-1, 9] > x[0, 9]
+
+
+def test_pa_sampler_warm_start():
+    """The duel sampler detects progress-augmented scenarios and produces PA-layout
+    initial states + 3-channel warm starts with the arc-speed channel appended
+    (reference comparison_study_barc/warm_start.py:79-121)."""
+    from dgsqp_tpu.harness.samplers import sample_duel_initial_conditions
+
+    sc = build_approximate_duel(N=N)
+    x0, u_ws, v_ref, lat_ref = sample_duel_initial_conditions(sc, 4, seed=0)
+    assert x0.shape == (4, 10)          # [x, y, v, psi, s] x 2 agents
+    assert u_ws.shape == (4, N, 6)      # [a, steer, u_ds] x 2 agents
+    # the virtual arc-speed channel tracks the PID rollout's progress rate
+    assert np.all(u_ws[:, :, 2] > 0) and np.all(u_ws[:, :, 5] > 0)
+    assert np.all(u_ws[:, :, 2] < 5.0)
+    # PA initial state is consistent with the sampled Frenet pose: s matches and the
+    # global heading equals the track tangent (e_psi=0 at the start)
+    for i in range(4):
+        tan1 = float(sc.track.tangent_angle(x0[i, 4]))
+        assert abs(x0[i, 3] - tan1) < 1e-9
