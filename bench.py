@@ -38,6 +38,10 @@ def main():
     solver_name = os.environ.get('DGSQP_BENCH_SOLVER', 'v1')
     chunk = int(os.environ.get('DGSQP_BENCH_CHUNK', 8))
     exec_mode = os.environ.get('DGSQP_BENCH_EXEC', 'chunked')
+    # compaction OFF by default: through the tunnel each compaction event costs
+    # ~1-2 s of transfers to save milliseconds of masked device compute — measured
+    # 54.36 solves/s/chip without vs 29.85 with (identical status profile)
+    compact = os.environ.get('DGSQP_BENCH_COMPACT', '0') == '1'
     reps = max(1, int(os.environ.get('DGSQP_BENCH_REPS', 2)))
 
     import jax
@@ -116,7 +120,7 @@ def main():
     else:
         def run(verbose=False):
             res = solver.solve_batch_chunked(u0, l0, x0, up, chunk_iters=chunk,
-                                             verbose=verbose)
+                                             verbose=verbose, compact=compact)
             np.asarray(res.status)
             return res
 

@@ -153,6 +153,7 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         return scatter_into(store, carry, scatter_idx)
 
     import time as _time
+    compacted = False
     for i in range(max_chunks):
         _t0 = _time.time()
         carry = chunk_fn(carry, x0_c, up_c)
@@ -164,11 +165,14 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         if verbose:
             print_method(f'chunk {i}: {n_run} games still running (batch {valid_h.size})')
         if n_run == 0:
-            store = harvest(carry)
+            # never compacted => the carry IS the store in original order: skip the
+            # harvest scatter (one upload + one dispatch through the tunnel)
+            store = harvest(carry) if compacted else carry
             break
         bucket = max(min_bucket, 1 << (n_run - 1).bit_length())
         bucket = -(-bucket // n_dev) * n_dev     # divisible by the mesh size
         if can_compact and bucket <= valid_h.size // 2:
+            compacted = True
             sel = np.where(running)[0]
             pad = np.concatenate([sel, np.repeat(sel[:1], bucket - sel.size)])
             scatter_idx = np.where(valid_h, idx_h, B0)
@@ -181,6 +185,7 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
                 np.concatenate([scatter_idx, pad, new_idx]), jnp.int32))
             store, carry, x0_c, up_c = compact(store, carry, x0_all, up_all, packed)
     else:
-        store = harvest(carry)
+        # max_chunks exhausted with games still running
+        store = harvest(carry) if compacted else carry
 
     return store, x0_all, up_all, history

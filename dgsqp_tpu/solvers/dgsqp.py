@@ -814,14 +814,19 @@ class DGSQP:
     _compact_min_bucket = 16
 
     def solve_batch_chunked(self, u0, l0, x0, up, P=None, chunk_iters: int = 8,
-                            max_chunks: Optional[int] = None, verbose: bool = False):
+                            max_chunks: Optional[int] = None, verbose: bool = False,
+                            compact: Optional[bool] = None):
         """Batched solve as a host loop over short jitted chunks.
 
         In flat (round-machine) execution each chunk step is one ROUND, which is much
-        cheaper than a nested SQP iteration, so more of them fit per device program."""
+        cheaper than a nested SQP iteration, so more of them fit per device program.
+        ``compact=False`` disables straggler compaction: each compaction event costs
+        host->device transfers (~1-2 s each through the axon tunnel) to save
+        milliseconds of masked device compute, so remote-tunnel callers run faster
+        fixed-layout; on locally-attached hardware leave it on (default)."""
         if self._use_flat():
             return self._solve_batch_chunked_flat(u0, l0, x0, up, chunk_iters,
-                                                  max_chunks, verbose)
+                                                  max_chunks, verbose, compact)
         if not hasattr(self, '_chunk_jit'):
             self._chunk_jit = jax.jit(jax.vmap(
                 lambda c, x, u_p: self._chunk(c, x, u_p, None, chunk_iters)))
@@ -848,7 +853,8 @@ class DGSQP:
 
     def _solve_batch_chunked_flat(self, u0, l0, x0, up, chunk_iters: int = 8,
                                   max_chunks: Optional[int] = None,
-                                  verbose: bool = False):
+                                  verbose: bool = False,
+                                  compact: Optional[bool] = None):
         """Flat-execution batch solve: host loop over round chunks WITH batch compaction.
 
         After each chunk the finished games are harvested to a host-side store and the
@@ -872,7 +878,8 @@ class DGSQP:
         carry = init_fn(u0, l0)
         final_carry, x0_f, up_f, history = run_chunked_compacted(
             carry, x0, up, chunk_fn, running_status=RUNNING, max_chunks=max_chunks,
-            min_bucket=getattr(self, '_compact_min_bucket', 16), verbose=verbose)
+            min_bucket=getattr(self, '_compact_min_bucket', 16), verbose=verbose,
+            can_compact=compact)
         res = final_fn(final_carry, x0_f, up_f)
         self.last_chunk_history = history
         return res

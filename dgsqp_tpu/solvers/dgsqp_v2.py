@@ -482,7 +482,8 @@ class DGSQPV2:
         return jax.lax.fori_loop(0, chunk_iters, lambda i, cc: body(cc), c)
 
     def solve_batch_chunked(self, u0, l0, x0, up, P=None, chunk_iters: int = 8,
-                            max_chunks: Optional[int] = None, verbose: bool = False):
+                            max_chunks: Optional[int] = None, verbose: bool = False,
+                            compact: Optional[bool] = None):
         """Batched solve as a host loop over short jitted chunks WITH straggler
         compaction (the shared driver in :mod:`dgsqp_tpu.solvers.chunked`).
 
@@ -507,7 +508,8 @@ class DGSQPV2:
         final_carry, x0_f, up_f, history = run_chunked_compacted(
             carry, x0, up, self._chunk_jit, running_status=RUNNING,
             max_chunks=max_chunks,
-            min_bucket=getattr(self, '_compact_min_bucket', 16), verbose=verbose)
+            min_bucket=getattr(self, '_compact_min_bucket', 16), verbose=verbose,
+            can_compact=compact)
         res = self._final_jit(final_carry, x0_f, up_f)
         self.last_chunk_history = history
         return res

@@ -278,9 +278,16 @@ def test_flat_compaction_matches_uncompacted():
     assert np.array_equal(np.asarray(res_ref.status), np.asarray(res_c.status))
     np.testing.assert_allclose(np.asarray(res_ref.u), np.asarray(res_c.u),
                                atol=1e-12)
-    # with 4-round chunks the staggered finishes should actually shrink the batch
     batches = [h['batch'] for h in solver.last_chunk_history]
     assert batches[0] == B
+    # compact=False (remote-tunnel configuration) keeps the fixed layout and gives
+    # the identical answer
+    res_nc = solver.solve_batch_chunked(u0, l0, x0s, ups, chunk_iters=1,
+                                        compact=False)
+    assert np.array_equal(np.asarray(res_ref.status), np.asarray(res_nc.status))
+    np.testing.assert_allclose(np.asarray(res_ref.u), np.asarray(res_nc.u),
+                               atol=1e-12)
+    assert all(h['batch'] == B for h in solver.last_chunk_history)
 
 
 def test_flat_compaction_spmd_matches_single_device():
