@@ -36,7 +36,12 @@ def main():
     batch = int(os.environ.get('DGSQP_BENCH_BATCH', 256))
     horizon = int(os.environ.get('DGSQP_BENCH_N', 25))
     solver_name = os.environ.get('DGSQP_BENCH_SOLVER', 'v1')
-    chunk = int(os.environ.get('DGSQP_BENCH_CHUNK', 8))
+    # chunk=4 (16-round programs): compile time scales with the fori trip count on
+    # this toolchain (32 rounds ~ 150-600 s, 160 rounds > 9 min, 16 rounds ~ 90 s),
+    # and with compaction off extra chunk boundaries only cost a ~0.2 s status pull —
+    # measured 53.3 solves/s/chip at first-solve 89.8 s vs 54.4 at 153-511 s for
+    # chunk=8 (within run-to-run tunnel noise)
+    chunk = int(os.environ.get('DGSQP_BENCH_CHUNK', 4))
     exec_mode = os.environ.get('DGSQP_BENCH_EXEC', 'chunked')
     # compaction OFF by default: through the tunnel each compaction event costs
     # ~1-2 s of transfers to save milliseconds of masked device compute — measured
