@@ -223,6 +223,26 @@ class PATHMCPParams(ControllerConfig):
     max_restarts: int = 4          # proximal-perturbation restart budget
     pert0: float = 1e-2            # first restart's proximal perturbation
     pert_decay: float = 0.5        # per-iteration perturbation decay
+    # --- smoothing continuation: start the FB function at eps0 (the smoothed root set
+    # is the central path l*(-C)=eps^2/2) and shrink toward machine-eps as the sharp
+    # residual falls — the interior-point homotopy that carries far-from-solution
+    # iterates past the FB merit's local minima (N=25 stalled at res~5 without it)
+    eps0: float = 1e-1
+    eps_decay: float = 0.7         # per-accepted-step multiplicative shrink
+    eps_frac: float = 0.05         # eps also capped at eps_frac * sharp residual
+    # --- method selection: 'fbnewton' (default) = smoothed FB semismooth Newton —
+    # one linear solve per iteration, fast to compile, strong at small/medium horizons
+    # (27/32 on chicane N=15); 'josephy' solves the linearized MCP (an indefinite
+    # QP / affine VI — PATH's subproblem model) exactly per iteration via the IPM
+    # kernel; 'hybrid' = josephy phase + fbnewton polish, the PATH-strength config
+    # used by the oracle MC runs (scripts/monte_carlo_main.py) — fbnewton alone
+    # creeps at N=25 (0/32, res ~ 5) where josephy reaches res ~ 0.08 median; the
+    # hybrid's compile cost (two while-loops, one embedding the QP kernel) is why it
+    # is not the dataclass default.
+    method: str = 'fbnewton'
+    qp_tol: Optional[float] = None         # None -> dtype default (1e-8 / 3e-7)
+    qp_max_iters: int = 50
+    jos_gamma: float = 2.0         # residual-watchdog growth tolerance (josephy)
 
 
 @dataclass

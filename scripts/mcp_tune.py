@@ -46,11 +46,32 @@ def main():
         'combo2': dict(fb_lambda=0.8, pert0=0.1, max_restarts=8, max_iters=400),
         'combo3': dict(fb_lambda=0.8, nonmono_memory=16),
         'combo4': dict(fb_lambda=0.8, pert0=0.1),
+        'eps-off': dict(eps0=1e-9),
+        'eps1e-1': dict(eps0=1e-1),
+        'eps3e-1': dict(eps0=3e-1),
+        'eps1e0': dict(eps0=1.0),
+        'eps1e-1-slow': dict(eps0=1e-1, eps_decay=0.9),
+        'eps1e0-slow': dict(eps0=1.0, eps_decay=0.9, eps_frac=0.2),
+        'eps1e0-plainfb': dict(eps0=1.0, eps_decay=0.9, eps_frac=0.2, fb_lambda=1.0),
+        'patient': dict(stall_its=50, max_restarts=2, max_iters=500),
+        'patient-eps': dict(stall_its=50, max_restarts=2, max_iters=500, eps0=1.0,
+                            eps_decay=0.9, eps_frac=0.2),
+        'patient-tol2': dict(stall_its=50, max_restarts=2, max_iters=500),
+        'josephy': dict(method='josephy'),
+        'josephy-stall12': dict(method='josephy', stall_its=12),
+        'josephy-g2': dict(method='josephy', jos_gamma=2.0),
+        'josephy-g1.2': dict(method='josephy', jos_gamma=1.2),
+        'josephy-stall10': dict(method='josephy', stall_its=10, max_restarts=6),
+        'fbnewton': dict(method='fbnewton'),
+        'hybrid': dict(method='hybrid'),
+        'hybrid-g1.5': dict(method='hybrid', jos_gamma=1.5),
+        'hybrid-stall10': dict(method='hybrid', stall_its=10, max_restarts=6),
     }
     sel = os.environ.get('CONFIGS')
     if sel:
         configs = {k: v for k, v in configs.items() if k in sel.split(',')}
 
+    use_ibr = os.environ.get('IBR_WS', '0') == '1'
     x0 = u0 = l0 = up = None
     for name, kw in configs.items():
         params = PATHMCPParams(N=sc.N, dt=sc.dt, tol=tol, **kw)
@@ -62,15 +83,29 @@ def main():
             u0 = jax.vmap(solver.problem.stage_to_u)(jnp.asarray(u_ws, dtype))
             x0 = jnp.asarray(x0_h, dtype)
             up = jnp.zeros((B, sc.joint_model.n_u), dtype)
+            if use_ibr:
+                from dgsqp_tpu.solvers.ibr import IBR
+                from dgsqp_tpu.solvers.solver_types import IBRParams
+                ibr = IBR(sc.joint_model, sc.costs, sc.agent_constraints,
+                          sc.shared_constraints, sc.bounds,
+                          IBRParams(N=sc.N, dt=sc.dt, ibr_iters=1,
+                                    p_tol=1e-3, d_tol=1e-3), print_method=None)
+                u0 = jax.jit(jax.vmap(
+                    lambda u, x, p: ibr._solve_core(u, x, p, None).u))(u0, x0, up)
             l0 = jax.jit(jax.vmap(
                 lambda u, x, p: solver.problem.dual_warm_start(u, x, p)))(u0, x0, up)
         res = solver._solve_batch_jit(u0, l0, x0, up, None)
         st = np.asarray(res.status)
         iters = np.asarray(res.iters)
+        resid = np.asarray(res.res)
         conv = int((st == SOLVED).sum())
+        fail = resid[st != SOLVED]
+        fail_p = (f'fail res p10/p50/p90 = {np.percentile(fail, 10):.2e}/'
+                  f'{np.percentile(fail, 50):.2e}/{np.percentile(fail, 90):.2e}'
+                  if fail.size else 'all solved')
         print(f'{name:12s} conv {conv}/{B}  statuses '
               f'{dict(zip(*[a.tolist() for a in np.unique(st, return_counts=True)]))}  '
-              f'iters p50={np.median(iters):.0f} max={iters.max()}', flush=True)
+              f'iters p50={np.median(iters):.0f} max={iters.max()}  {fail_p}', flush=True)
 
 
 if __name__ == '__main__':

@@ -148,9 +148,12 @@ def main():
     elif args.solver == 'mcp':
         from dgsqp_tpu.solvers.mcp import PATHMCP
         from dgsqp_tpu.solvers.solver_types import PATHMCPParams
+        # oracle-grade configuration: the Josephy+FB hybrid (PATH's two-regime
+        # structure); override with DGSQP_MCP_METHOD for quick fbnewton-only runs
         mcp = PATHMCP(scenario.joint_model, scenario.costs, scenario.agent_constraints,
                       scenario.shared_constraints, scenario.bounds,
-                      PATHMCPParams(N=scenario.N, dt=scenario.dt, tol=args.p_tol),
+                      PATHMCPParams(N=scenario.N, dt=scenario.dt, tol=args.p_tol,
+                                    method=os.environ.get('DGSQP_MCP_METHOD', 'hybrid')),
                       print_method=None)
         res = run_mc_study(scenario, num_samples=args.n, seed=args.seed, solver=mcp)
     else:
