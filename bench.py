@@ -9,8 +9,8 @@ by that per-chip target.  The game configuration matches the reference MC study
 (``scripts/DGSQP_ALGAMES_monte_carlo_chicane.py``: N=25, theta=45deg, p/d_tol=1e-3).
 
 Env knobs: DGSQP_BENCH_BATCH (default 256), DGSQP_BENCH_N (25), DGSQP_BENCH_SOLVER
-(v1|v2, default v1), DGSQP_BENCH_CHUNK (8), DGSQP_BENCH_EXEC (full|chunked),
-DGSQP_BENCH_REPS (2).
+(v1|v2|approx, default v1; approx = progress-augmented MPCC formulation),
+DGSQP_BENCH_CHUNK (8), DGSQP_BENCH_EXEC (full|chunked), DGSQP_BENCH_REPS (2).
 
 Execution mode: 'chunked' (default) runs fixed-trip-count fori_loop round chunks with
 host-side compaction between them.  Through the axon device tunnel every chunk boundary

@@ -21,8 +21,26 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
     from dgsqp_tpu.solvers.dgsqp_v2 import DGSQPV2
     from dgsqp_tpu.solvers.solver_types import DGSQPParams, DGSQPV2Params
 
-    sc = scenario or build_chicane_scenario(N=horizon, theta_deg=45.0)
     qp_tol = 1e-8 if jax.config.jax_enable_x64 else 3e-7
+    if solver_name == 'approx':
+        # approximate (progress-augmented MPCC) formulation — the journal study's fast
+        # configuration (reference DGSQP_v2_frenet_approx.py:380,430; study config
+        # comparison_study_barc/run_kinematic_study.sh approximate rows)
+        from dgsqp_tpu.harness.scenarios import build_approximate_duel
+        from dgsqp_tpu.solvers.dgsqp_v2_frenet import DGSQPV2FrenetApprox
+
+        sc = scenario or build_approximate_duel(N=horizon)
+        params = DGSQPV2Params(N=sc.N, dt=sc.dt, sqp_iters=50, p_tol=1e-3, d_tol=1e-3,
+                               merit_function='stat_l1',
+                               merit_decrease_condition='armijo',
+                               approximation_eval='always', nms=True, qp_tol=qp_tol,
+                               qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '1') == '1',
+                               qp_correctors=int(os.environ.get('DGSQP_BENCH_CORR', 2)))
+        solver = DGSQPV2FrenetApprox(sc.joint_model, sc.costs, sc.agent_constraints,
+                                     sc.shared_constraints, sc.bounds, params,
+                                     print_method=None)
+        return sc, solver
+    sc = scenario or build_chicane_scenario(N=horizon, theta_deg=45.0)
     if solver_name == 'v2':
         params = DGSQPV2Params(N=sc.N, dt=sc.dt, reg=1e2, reg_decay=0.95, nms=True,
                                nms_frequency=5, nms_memory_size=3, sqp_iters=100,
@@ -84,8 +102,13 @@ def build_bench_batch(sc, solver, batch: int, seed: int = 0, device=None):
     u0 = jax.vmap(solver.problem.stage_to_u)(jnp.asarray(u_ws, dtype))
     x0 = jnp.asarray(x0, dtype)
     up = jnp.zeros((batch, sc.joint_model.n_u), dtype)
-    l0 = jax.jit(jax.vmap(lambda u, x, p: solver.problem.dual_warm_start(u, x, p)))(
-        u0, x0, up)
+    def _dws(u, x, p):
+        # approximate-game solvers need their parameter pytree (contouring/boundary
+        # linearizations) built from the warm start before any constraint evaluate
+        Pv = solver._approx_update(u, x) \
+            if getattr(solver, '_approx_update', None) is not None else None
+        return solver.problem.dual_warm_start(u, x, p, P=Pv)
+    l0 = jax.jit(jax.vmap(_dws))(u0, x0, up)
     if device is not None:
         u0, l0, x0, up = (jax.device_put(a, device) for a in (u0, l0, x0, up))
     return u0, l0, x0, up

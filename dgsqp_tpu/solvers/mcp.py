@@ -424,6 +424,7 @@ class PATHMCP:
             mem: jnp.ndarray        # (R,) last accepted sharp residuals
             stall: jnp.ndarray
             restarts: jnp.ndarray
+            pert: jnp.ndarray       # proximal perturbation (set on restart, decays)
 
         def body(c: C) -> C:
             running = c.status == RUNNING
@@ -434,7 +435,12 @@ class PATHMCP:
             solved = res < p.tol
             diverged = (res > 1e10) | ~jnp.isfinite(res)
 
-            sol = solve_qp(Q, q, G, -g, tol=qp_tol, max_iters=p.qp_max_iters,
+            # proximal perturbation (PATH's restart device): the linearized MCP is
+            # solved with Q + pert*I — centered at the current point (du = 0), so a
+            # restart actually changes the subsequent step sequence instead of
+            # deterministically replaying the stalled trajectory
+            Q_eff = Q + c.pert * jnp.eye(n_dec, dtype=dtype)
+            sol = solve_qp(Q_eff, q, G, -g, tol=qp_tol, max_iters=p.qp_max_iters,
                            indefinite=True, polish_iters=0)
             du = jnp.where(jnp.isfinite(sol.x), sol.x, 0.0)
             dl = jnp.where(jnp.isfinite(sol.lam), sol.lam, c.l) - c.l
@@ -476,6 +482,11 @@ class PATHMCP:
             mem_n = jnp.where(do_restart, jnp.full((R,), jnp.inf, dtype), mem_n)
             stall_n = jnp.where(do_restart, 0, stall_n)
             restarts_n = c.restarts + jnp.where(do_restart, 1, 0)
+            # each restart perturbs harder (restart k: pert0 * 2^k); between restarts
+            # the perturbation decays multiplicatively back toward the pure model
+            pert_n = jnp.where(do_restart,
+                               p.pert0 * (2.0 ** c.restarts.astype(dtype)),
+                               c.pert * p.pert_decay)
             exhausted = active & (stall_n >= p.stall_its) & \
                 (c.restarts >= p.max_restarts)
 
@@ -486,7 +497,7 @@ class PATHMCP:
                                      RUNNING)))
             status = jnp.where(running, new_status, c.status).astype(jnp.int32)
             new = C(u_n, l_n, it_next, status, res, best_u, best_l, best_res,
-                    mem_n, stall_n, restarts_n)
+                    mem_n, stall_n, restarts_n, pert_n)
             return jax.tree_util.tree_map(
                 lambda nn, oo: jnp.where(running, nn, oo), new, c)
 
@@ -495,7 +506,7 @@ class PATHMCP:
         init = C(u0, l0, jnp.asarray(0), jnp.asarray(RUNNING, jnp.int32),
                  jnp.asarray(jnp.inf, dtype), u0, l0,
                  jnp.asarray(jnp.inf, dtype), jnp.full((R,), jnp.inf, dtype),
-                 jnp.asarray(0), jnp.asarray(0))
+                 jnp.asarray(0), jnp.asarray(0), jnp.asarray(0.0, dtype))
         c = jax.lax.while_loop(lambda cc: cc.status == RUNNING, body, init)
 
         take_best = ((c.best_res < c.res) | ~jnp.isfinite(c.res)) & (c.status != SOLVED)

@@ -68,6 +68,13 @@ def main():
         # always ran f64 CPython/CasADi
         jax.config.update('jax_enable_x64', True)
     jax.config.update('jax_default_matmul_precision', 'highest')
+    # persistent compile cache: the oracle programs (hybrid MCP, ALGAMES) cost minutes
+    # of XLA time per shape — cache them across study invocations like bench.py does
+    cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                               str(Path(__file__).resolve().parent.parent / '.jax_cache'))
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
     from dgsqp_tpu.harness.mc_study import run_mc_study, analyze_results, save_results
     from dgsqp_tpu.harness.scenarios import (build_agents_scenario,
@@ -153,9 +160,12 @@ def main():
         mcp = PATHMCP(scenario.joint_model, scenario.costs, scenario.agent_constraints,
                       scenario.shared_constraints, scenario.bounds,
                       PATHMCPParams(N=scenario.N, dt=scenario.dt, tol=args.p_tol,
-                                    method=os.environ.get('DGSQP_MCP_METHOD', 'hybrid')),
+                                    method=os.environ.get('DGSQP_MCP_METHOD', 'hybrid'),
+                                    max_iters=int(os.environ.get('DGSQP_MCP_ITERS', 200)),
+                                    max_restarts=int(os.environ.get('DGSQP_MCP_RESTARTS', 4))),
                       print_method=None)
-        res = run_mc_study(scenario, num_samples=args.n, seed=args.seed, solver=mcp)
+        res = run_mc_study(scenario, num_samples=args.n, seed=args.seed, solver=mcp,
+                           ibr_ws=args.ibr_ws)
     else:
         print(f'solver {args.solver} batched study not wired yet', file=sys.stderr)
         sys.exit(2)

@@ -53,6 +53,22 @@ def test_mcp_solves_and_satisfies_kkt():
     assert (info['l_sol'] >= -1e-9).all()
 
 
+def test_mcp_josephy_solves_and_satisfies_kkt():
+    # the oracle configuration's first phase: subproblem-exact Josephy-Newton with the
+    # residual watchdog and perturbed proximal restarts
+    joint, costs, shared_list, bounds = _game()
+    solver = PATHMCP(joint, costs, [None, None], shared_list, bounds,
+                     PATHMCPParams(N=N, dt=DT, tol=1e-7, method='josephy',
+                                   line_search_iters=8, max_iters=60),
+                     print_method=None)
+    info = solver.solve([VehicleState(), VehicleState()])
+    assert info['msg'] == 'MCP_Solved', info
+    assert info['cond']['p_feas'] < 1e-6
+    assert info['cond']['comp'] < 1e-6
+    assert info['cond']['stat'] < 1e-6
+    assert (info['l_sol'] >= -1e-9).all()
+
+
 def test_mcp_matches_dgsqp():
     joint, costs, shared_list, bounds = _game()
     mcp = PATHMCP(joint, costs, [None, None], shared_list, bounds,
