@@ -75,8 +75,11 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                              # IDENTICAL conv_abs/conv_rel and -15% total QP solves —
                              # the plateaued games set the batch tail otherwise
                              stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 15)) or None,
-                             # cross-round IPM warm start (flat execution)
-                             qp_warm_start=os.environ.get('DGSQP_BENCH_QP_WS', '0') == '1',
+                             # cross-round IPM warm start (flat execution).  Default ON:
+                             # measured on TPU r3 at 54.39 solves/s/chip, conv_abs 58.2%
+                             # vs 52.61 / 57.0% for the same build with it off
+                             # (results/bench_sweep_r3.jsonl)
+                             qp_warm_start=os.environ.get('DGSQP_BENCH_QP_WS', '1') == '1',
                              # fold input-box rows of G into the IPM normal matrix as a
                              # diagonal update (200/525 rows at this config), and pair the
                              # ±Du_x state-bound rows.  Default ON: measured on TPU at

@@ -101,12 +101,19 @@ def solve_with_retries(solver, retry_solvers, u0, l0, x0, up):
 
 def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int = 0,
                  solver_cls=DGSQP, n_devices: Optional[int] = None,
-                 solver=None, ibr_ws: bool = False) -> MCResults:
+                 solver=None, ibr_ws: bool = False,
+                 dgsqp_ws_iters: int = 0) -> MCResults:
     """Run one Monte-Carlo configuration end to end, batched over all samples.
 
     ``ibr_ws=True`` refines the PID warm start with one batched IBR (Gauss-Seidel
     best-response) sweep before the main solve — the reference comp study's
     ``ibr_ws`` path (``DGSQP_comp_monte_carlo.py:451-468``, ``ibr_iters=1``).
+
+    ``dgsqp_ws_iters=K`` (oracle runs only) warm-starts the solver from a K-iteration
+    DGSQP prefix (primal AND duals) — the "DGSQP-style dual warm start" configuration
+    for the PATH-role MCP baseline.  The oracle still certifies convergence with its
+    own KKT residuals from there; only the starting point is shared, as in the
+    reference study where every solver departs from the identical PID+IBR warm start.
     """
     if solver is None:
         if solver_params is None:
@@ -140,6 +147,20 @@ def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int
         return solver.problem.dual_warm_start(u, x, p, P=Pv)
     l0 = np.asarray(jax.jit(jax.vmap(_dws))(
         jnp.asarray(u0), jnp.asarray(x0, dtype), jnp.asarray(up)))
+    if dgsqp_ws_iters > 0 and not isinstance(solver, DGSQP):
+        pre_params = DGSQPParams(N=scenario.N, dt=scenario.dt, reg=1e-3,
+                                 nonmono_ls=True, line_search_iters=50,
+                                 sqp_iters=int(dgsqp_ws_iters),
+                                 p_tol=1e-3, d_tol=1e-3, beta=0.01, tau=0.5)
+        pre = DGSQP(scenario.joint_model, scenario.costs, scenario.agent_constraints,
+                    scenario.shared_constraints, scenario.bounds, pre_params,
+                    print_method=None)
+        pre_res = pre.solve_batch_chunked(jnp.asarray(u0, pre.dtype),
+                                          jnp.asarray(l0, pre.dtype),
+                                          jnp.asarray(x0, pre.dtype),
+                                          jnp.asarray(up, pre.dtype))
+        u0 = np.asarray(pre_res.u, dtype=np.asarray(u0).dtype)
+        l0 = np.maximum(np.asarray(pre_res.l, dtype=np.asarray(l0).dtype), 0.0)
 
     mesh = games_mesh(n_devices)
     n_dev = mesh.devices.size

@@ -228,9 +228,26 @@ def _make_cho_solve_call(n_pad: int, k: int, dtype):
     return call
 
 
+# VMEM scratch budget per grid step (v5e VMEM is ~16 MB/core; leave headroom for
+# Mosaic's own staging).  The L tile costs n_pad^2 * LANES * itemsize; the RHS tile
+# n_pad * k * LANES * itemsize.  Problems whose L tile alone exceeds the budget fall
+# back to stock XLA (first hit: the approximate-game QP, n = 150, k = 96 -> 19.3 MB).
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _scratch_bytes(n_pad: int, k: int, dtype) -> int:
+    it = jnp.dtype(dtype).itemsize
+    return (n_pad * n_pad + n_pad * k) * _LANES * it
+
+
 @jax.jit
 def cho_solve_batch(L, b):
-    """Batched A x = b with A = L L': L (B, n, n) lower, b (B, n) or (B, n, k)."""
+    """Batched A x = b with A = L L': L (B, n, n) lower, b (B, n) or (B, n, k).
+
+    Multi-RHS solves are chunked along k so the (L tile + RHS tile) VMEM scratch
+    stays under ``_VMEM_BUDGET``; L is DMA'd once per chunk (still far cheaper than
+    the stock XLA path at these shapes).
+    """
     squeeze = b.ndim == 2
     if squeeze:
         b = b[..., None]
@@ -245,7 +262,16 @@ def cho_solve_batch(L, b):
         l_t = l_t.at[pad_idx, pad_idx, :].set(1.0)
     b_t = jnp.transpose(b, (1, 2, 0))
     b_t = jnp.pad(b_t, ((0, n_pad - n), (0, 0), (0, B_pad - B)))
-    x_t = _make_cho_solve_call(n_pad, k, dtype)(l_t, b_t)
+    it = jnp.dtype(dtype).itemsize
+    k_fit = (_VMEM_BUDGET // (_LANES * it) - n_pad * n_pad) // n_pad
+    k_max = max(_BLK, (int(k_fit) // _BLK) * _BLK)
+    if k <= k_max:
+        x_t = _make_cho_solve_call(n_pad, k, dtype)(l_t, b_t)
+    else:
+        parts = [_make_cho_solve_call(n_pad, min(k_max, k - s), dtype)(
+                     l_t, b_t[:, s:s + k_max, :])
+                 for s in range(0, k, k_max)]
+        x_t = jnp.concatenate(parts, axis=1)
     x = jnp.transpose(x_t[:n, :, :B], (2, 0, 1))
     return x[..., 0] if squeeze else x
 
@@ -278,7 +304,8 @@ def cholesky(A):
 @cholesky.def_vmap
 def _cholesky_vmap(axis_size, in_batched, A):
     (a_b,) = in_batched
-    if a_b and use_pallas() and A.ndim == 3:
+    if a_b and use_pallas() and A.ndim == 3 and \
+            _scratch_bytes(_round_up(A.shape[-1], _BLK), 0, A.dtype) <= _VMEM_BUDGET:
         return chol_batch(A), True
     return jnp.linalg.cholesky(A), a_b
 
@@ -292,7 +319,8 @@ def cho_solve(L, b):
 @cho_solve.def_vmap
 def _cho_solve_vmap(axis_size, in_batched, L, b):
     l_b, b_b = in_batched
-    if l_b and b_b and use_pallas() and L.ndim == 3 and b.ndim in (2, 3):
+    if l_b and b_b and use_pallas() and L.ndim == 3 and b.ndim in (2, 3) and \
+            _scratch_bytes(_round_up(L.shape[-1], _BLK), _BLK, L.dtype) <= _VMEM_BUDGET:
         return cho_solve_batch(L, b), True
     if not l_b:
         L = jnp.broadcast_to(L, (axis_size,) + L.shape)

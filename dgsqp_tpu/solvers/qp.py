@@ -384,6 +384,19 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
     _, cand = jax.lax.top_k(score, K)
     A_k = A[cand]
     b_k = b[cand]
+    # Mosaic memref slices must be 8-aligned on the sublane dim: pad the candidate
+    # block to the next multiple of 8 with always-inactive rows (0'x <= 1, scattered
+    # to the out-of-range sentinel index m and dropped) — the PDAS mask keeps them
+    # inactive (A_k x - b_k = -1 < 0) so the arithmetic is unchanged (first hit: the
+    # approximate-game QP, K = 89)
+    pad = -(-K // 8) * 8 - K
+    act0 = (st.lam[cand] > st.t[cand]).astype(dtype)
+    if pad:
+        A_k = jnp.concatenate([A_k, jnp.zeros((pad, A_k.shape[1]), dtype)], axis=0)
+        b_k = jnp.concatenate([b_k, jnp.ones((pad,), dtype)], axis=0)
+        cand = jnp.concatenate([cand, jnp.full((pad,), m, cand.dtype)])
+        act0 = jnp.concatenate([act0, jnp.zeros((pad,), dtype)])
+        K = K + pad
 
     # ---- Schur-complement PDAS machinery.  The expensive pieces are hoisted OUT of the
     # PDAS loop: chol(Q) and Y = Q^-1 A_k' are active-set independent, so each iteration
@@ -420,7 +433,7 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
             dlam = _pallas_cho_solve(Ls, rhs)
             x_c = x_c + w - Y @ (a * dlam)
             lam_k = lam_k + dlam
-        lam_c = jnp.zeros(m, dtype).at[cand].set(a * lam_k)
+        lam_c = jnp.zeros(m, dtype).at[cand].set(a * lam_k, mode='drop')
         res_c = certify(x_c, lam_c)
         better = res_c < best_res
         best_x = jnp.where(better, x_c, best_x)
@@ -430,7 +443,6 @@ def solve_qp(Q, q, A, b, tol: float = 1e-8, max_iters: int = 50,
         act_k = (a * lam_k + viol_k > 0).astype(dtype)
         return act_k, best_x, best_lam, best_res
 
-    act0 = (st.lam[cand] > st.t[cand]).astype(dtype)
     _, x, lam, res = jax.lax.fori_loop(
         0, polish_iters, pdas_step, (act0, st.x, st.lam, res0))
 

@@ -45,6 +45,9 @@ def main():
     ap.add_argument('--no_nms', action='store_true')
     ap.add_argument('--reg_init', type=float, default=None)
     ap.add_argument('--reg_decay', type=float, default=None)
+    ap.add_argument('--dgsqp_ws', type=int, default=0,
+                    help='warm-start the oracle solver from a K-iteration DGSQP '
+                         'prefix (primal + duals); oracle certification stays its own')
     ap.add_argument('--ibr_ws', action='store_true',
                     help='refine the PID warm start with one batched IBR sweep '
                          '(reference DGSQP_comp_monte_carlo.py ibr_ws=True)')
@@ -165,7 +168,7 @@ def main():
                                     max_restarts=int(os.environ.get('DGSQP_MCP_RESTARTS', 4))),
                       print_method=None)
         res = run_mc_study(scenario, num_samples=args.n, seed=args.seed, solver=mcp,
-                           ibr_ws=args.ibr_ws)
+                           ibr_ws=args.ibr_ws, dgsqp_ws_iters=args.dgsqp_ws)
     else:
         print(f'solver {args.solver} batched study not wired yet', file=sys.stderr)
         sys.exit(2)
