@@ -30,10 +30,15 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
         from dgsqp_tpu.solvers.dgsqp_v2_frenet import DGSQPV2FrenetApprox
 
         sc = scenario or build_approximate_duel(N=horizon)
-        params = DGSQPV2Params(N=sc.N, dt=sc.dt, sqp_iters=50, p_tol=1e-3, d_tol=1e-3,
+        params = DGSQPV2Params(N=sc.N, dt=sc.dt,
+                               sqp_iters=int(os.environ.get('DGSQP_BENCH_SQP_ITERS', 150)),
+                               p_tol=1e-3, d_tol=1e-3,
                                merit_function='stat_l1',
                                merit_decrease_condition='armijo',
-                               approximation_eval='always', nms=True, qp_tol=qp_tol,
+                               reg=float(os.environ.get('DGSQP_BENCH_REG', 1e2)),
+                               reg_decay=float(os.environ.get('DGSQP_BENCH_REG_DECAY', 0.95)),
+                               approximation_eval=os.environ.get('DGSQP_BENCH_EVAL', 'always'),
+                               nms=True, qp_tol=qp_tol,
                                qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '1') == '1',
                                qp_correctors=int(os.environ.get('DGSQP_BENCH_CORR', 2)))
         solver = DGSQPV2FrenetApprox(sc.joint_model, sc.costs, sc.agent_constraints,
