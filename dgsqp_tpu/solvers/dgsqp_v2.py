@@ -49,6 +49,10 @@ class _CarryV2(NamedTuple):
     qp_solves: jnp.ndarray
     delta: jnp.ndarray
     reg: jnp.ndarray
+    # decay rides in the carry (not closed over) so a (reg, reg_decay) sweep re-uses ONE
+    # compiled chunk program — the sweep axis of the reference regularization study
+    # (run_regularization_study.sh)
+    reg_decay: jnp.ndarray
     ck_counter: jnp.ndarray
     # checkpoint payload (iterate + step + slack + merit parameter + trust/reg)
     ck_u: jnp.ndarray
@@ -181,11 +185,13 @@ class DGSQPV2:
                        correctors=getattr(self.params, 'qp_correctors', 0))
         return sol.x, sol.lam, sol.ok
 
-    def _line_search(self, enabled, u, du, l, dl, s, mu, mem_max, x0, up, P):
+    def _line_search(self, enabled, u, du, l, dl, s, mu, mem_max, x0, up, P, P_fn=None):
         """v2 backtracking line search (reference ``DGSQP_v2.py:729-760``).
 
         Returns (u_acc, l_acc, phi_acc_mu1) where phi is evaluated with mu=1 at the
-        accepted point (fed into the merit memory).
+        accepted point (fed into the merit memory).  ``P_fn`` (approximate game,
+        ``approximation_eval='always'``) re-linearizes the MPCC parameters at each
+        trial point (reference ``DGSQP_v2_frenet_approx.py:727-731``).
         """
         p = self.params
         use_l1 = p.merit_function in ('stat_l1', 'sum_obj_l1')
@@ -217,9 +223,10 @@ class DGSQPV2:
         def phis_at(alpha):
             u_try = u + alpha * du
             l_try = l + alpha * dl
-            d_t, g_t = self.problem.merit_terms(u_try, l_try, x0, up, P)
+            P_t = P_fn(u_try) if P_fn is not None else P
+            d_t, g_t = self.problem.merit_terms(u_try, l_try, x0, up, P_t)
             s_t = jnp.maximum(0.0, g_t)
-            obj_t = jnp.sum(self.problem.eval_costs(u_try, x0, up, P)) if sum_obj else None
+            obj_t = jnp.sum(self.problem.eval_costs(u_try, x0, up, P_t)) if sum_obj else None
             phi_try = self._phi_d(d_t, s_t, mu, use_l1, obj=obj_t)
             phi1_try = self._phi_d(d_t, s_t, jnp.asarray(1.0, self.dtype),
                                    use_l1, obj=obj_t)
@@ -251,11 +258,22 @@ class DGSQPV2:
             ptr_n = (ptr + 1) % mem_size
             return memory.at[ptr_n].set(val), ptr_n
 
+        # approximate-game parameter cadence (reference DGSQP_v2_frenet_approx.py:380,430,727):
+        #   'once'   — recompute the MPCC linearization once per SQP iteration, at the
+        #              current iterate, frozen through that iteration's trials;
+        #   'always' — additionally recompute it inside EVERY evaluation (full-step
+        #              trial, line-search merit trials), i.e. P moves with the trial point.
+        approx_always = (self._approx_update is not None
+                         and self.params.approximation_eval == 'always')
+
+        def P_at(u):
+            """Parameter pytree at trial point u ('always' cadence), else the frozen P."""
+            return self._approx_update(u, x0) if approx_always else None
+
         def body(c: _CarryV2) -> _CarryV2:
             running = c.status == RUNNING
 
-            if self._approx_update is not None and \
-                    self.params.approximation_eval == 'always':
+            if self._approx_update is not None:
                 P_i = self._approx_update(c.u, x0)
             else:
                 P_i = P
@@ -318,9 +336,10 @@ class DGSQPV2:
             # full-step trial against the non-monotone reference (DGSQP_v2.py:517-531)
             u_full = src_u + src_du
             l_full = src_l + src_dl
-            q_f, G_f, g_f = self._eval_lite(u_full, l_full, x0, up, P_i)
+            P_f = P_at(u_full) if approx_always else P_i
+            q_f, G_f, g_f = self._eval_lite(u_full, l_full, x0, up, P_f)
             s_f = jnp.maximum(0.0, g_f)
-            obj_f = jnp.sum(self.problem.eval_costs(u_full, x0, up, P_i)) if sum_obj else None
+            obj_f = jnp.sum(self.problem.eval_costs(u_full, x0, up, P_f)) if sum_obj else None
             phi_full = self._phi(l_full, s_f, q_f, G_f, g_f, jnp.asarray(1.0, dtype), use_l1,
                                  obj=obj_f)
             R = (1 - p.merit_decrease) * mem_max(c.memory)
@@ -339,7 +358,8 @@ class DGSQPV2:
 
             ls_enabled = (m_step & ~accept_full) | plain_ls
             u_ls, l_ls, phi_ls = self._line_search(ls_enabled, ls_u, ls_du, ls_l, ls_dl,
-                                                   ls_s, ls_mu, mem_max(c.memory), x0, up, P_i)
+                                                   ls_s, ls_mu, mem_max(c.memory), x0, up,
+                                                   P_i, P_fn=P_at if approx_always else None)
 
             # ---------- select the next iterate
             u_n = jnp.where(d_step, u_d,
@@ -358,7 +378,7 @@ class DGSQPV2:
             delta = jnp.where(keep_going & d_step, p.delta_decay * delta, delta)
             ck_counter = jnp.where(keep_going & d_step, c.ck_counter + 1,
                           jnp.where(mstep_done, 0, c.ck_counter))
-            reg = jnp.where(mstep_done, reg * p.reg_decay, reg)
+            reg = jnp.where(mstep_done, reg * c.reg_decay, reg)
 
             memory, mem_ptr = mem_push(c.memory, c.mem_ptr, phi_new)
             memory = jnp.where(mstep_done, memory, c.memory)
@@ -410,7 +430,7 @@ class DGSQPV2:
             status = jnp.where(running, new_status, c.status).astype(jnp.int32)
 
             return _CarryV2(u_n, l_n, u_im1, l_im1, it, m_it, status,
-                            rel_its, qp_solves, delta, reg, ck_counter,
+                            rel_its, qp_solves, delta, reg, c.reg_decay, ck_counter,
                             ck_u, ck_l, ck_du, ck_dl, ck_s, ck_mu, ck_delta2, ck_reg,
                             ck_valid, memory, mem_ptr,
                             jnp.where(running, p_feas, c.p_feas),
@@ -446,6 +466,7 @@ class DGSQPV2:
                         rel_its=jnp.asarray(0), qp_solves=jnp.asarray(0),
                         delta=jnp.asarray(jnp.inf, dtype),
                         reg=jnp.asarray(p.reg, dtype),
+                        reg_decay=jnp.asarray(p.reg_decay, dtype),
                         ck_counter=jnp.asarray(0),
                         ck_u=z_u, ck_l=z_l, ck_du=jnp.zeros_like(z_u),
                         ck_dl=jnp.zeros_like(z_l), ck_s=jnp.zeros_like(z_l),
@@ -513,6 +534,13 @@ class DGSQPV2:
         res = self._final_jit(final_carry, x0_f, up_f)
         self.last_chunk_history = history
         return res
+
+    # per-iteration instrumented batch solve — duck-type compatible with the v1
+    # implementation (same _make_body/_init_carry/_finalize surface); used by the
+    # convergence diagnostics (reference IterationData, DGSQP_v2.py:31-52)
+    from dgsqp_tpu.solvers.dgsqp import DGSQP as _DGSQP_v1
+    solve_batch_traced = _DGSQP_v1.solve_batch_traced
+    del _DGSQP_v1
 
     # ------------------------------------------------------------- host interface
     def initialize(self):

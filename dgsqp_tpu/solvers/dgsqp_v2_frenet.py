@@ -8,8 +8,11 @@ replaced by, per agent and stage,
     iterate; contouring weight q_c = 0.1, lag weight q_l = 1000 — reference ``:84-89``), and
   * two linearized track-boundary half-planes  G x + g <= 0  (reference ``:1105-1118``),
 
-with (Q_e, q_e, G, g) recomputed from the current rollout every SQP iteration
-(``approximation_eval='always'``) or once per solve (``'once'``) — reference ``:380,430,727``.
+with (Q_e, q_e, G, g) recomputed from the current rollout once per SQP iteration
+(``approximation_eval='once'``, the study's "1 SQP evaluation" row) or additionally at
+every merit/trial evaluation so the linearization moves with the line-search trial point
+(``'always'``, "multiple SQP evaluation") — reference ``:380,430,727`` and
+``run_kinematic_study.sh`` eval_type rows.
 The parameters travel through the solver as a pytree ``P`` consumed by ``stage_indexed``
 cost/constraint closures; the boundary reference ``z`` (interpolation between track edges)
 defaults to the centerline (reference ``:378``).

@@ -95,6 +95,11 @@ class PATHMCP:
         self.l_ws = None
         self.state_input_predictions = [VehiclePrediction() for _ in range(self.M)]
 
+        # approximate-game hook: fn(u, x0) -> MPCC parameter pytree, re-evaluated at
+        # every F/J evaluation point (set by PATHMCPFrenetApprox; read at trace time
+        # inside the solve cores, so subclasses may set it after this constructor runs)
+        self._approx_update = None
+
         if params.method == 'josephy':
             self._solve_core = self._solve_core_josephy
         if params.method == 'hybrid':
@@ -175,9 +180,18 @@ class PATHMCP:
         W = p.line_search_iters
         R = p.nonmono_memory
 
+        # approximate-game hook: the MPCC parameter pytree is recomputed at EVERY
+        # evaluation point, mirroring the reference's ``_evaluate_mpcc`` call inside the
+        # Julia F/J callbacks (``PATHMCP_frenet_approx.py``: the approximation moves
+        # with the iterate that PATH queries)
+        if getattr(self, '_approx_update', None) is not None:
+            P_of = lambda u: self._approx_update(u, x0)
+        else:
+            P_of = lambda u: P
+
         def Phi_cheap(u, l, eps):
             """Jacobian-free Phi for merit trials (merit_terms: one shared fwd pass)."""
-            d, g = self.problem.merit_terms(u, l, x0, up, P)
+            d, g = self.problem.merit_terms(u, l, x0, up, P_of(u))
             return jnp.concatenate([d, self._phi(l, -g, eps)])
 
         def merit_pert(u, l, pert, ref_u, ref_l, eps):
@@ -210,7 +224,8 @@ class PATHMCP:
             running = c.status == RUNNING
             # ---- full evaluation: Phi, Jacobian blocks (at the CURRENT smoothing;
             # convergence/best-point tracking always use the SHARP eps_min residual)
-            Q, q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=True)
+            Q, q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P_of(c.u),
+                                                  hessian=True)
             Fu = q + G.T @ c.l
             b = -g
             phi = self._phi(c.l, b, c.eps)
@@ -353,7 +368,7 @@ class PATHMCP:
                        res=jnp.where(take_best, c.best_res, c.res))
 
         # final KKT conditions (reference re-evaluates outside Julia, PATHMCP.py:258-266)
-        q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=False)
+        q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P_of(c.u), hessian=False)
         d = q + G.T @ c.l
         p_feas = jnp.maximum(0.0, jnp.max(g))
         comp = jnp.max(jnp.abs(g * c.l))
@@ -404,8 +419,14 @@ class PATHMCP:
         W = p.line_search_iters
         R = p.nonmono_memory
 
+        # approximate-game hook (see _solve_core): P re-linearized at every eval point
+        if getattr(self, '_approx_update', None) is not None:
+            P_of = lambda u: self._approx_update(u, x0)
+        else:
+            P_of = lambda u: P
+
         def Phi_cheap(u, l):
-            d, g = self.problem.merit_terms(u, l, x0, up, P)
+            d, g = self.problem.merit_terms(u, l, x0, up, P_of(u))
             return jnp.concatenate([d, self._phi(l, -g, eps_min)])
 
         def res_at(u, l):
@@ -428,7 +449,8 @@ class PATHMCP:
 
         def body(c: C) -> C:
             running = c.status == RUNNING
-            Q, q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=True)
+            Q, q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P_of(c.u),
+                                                  hessian=True)
             Fu = q + G.T @ c.l
             phi = self._phi(c.l, -g, eps_min)
             res = jnp.max(jnp.abs(jnp.concatenate([Fu, phi])))
@@ -514,7 +536,7 @@ class PATHMCP:
                        l=jnp.where(take_best, c.best_l, c.l),
                        res=jnp.where(take_best, c.best_res, c.res))
 
-        q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P, hessian=False)
+        q, G, g, _ = self.problem.evaluate(c.u, c.l, x0, up, P_of(c.u), hessian=False)
         d = q + G.T @ c.l
         p_feas = jnp.maximum(0.0, jnp.max(g))
         comp = jnp.max(jnp.abs(g * c.l))
@@ -579,20 +601,22 @@ class PATHMCPFrenetApprox(PATHMCP):
     """MCP baseline on the approximate (MPCC) game.
 
     Stands in for ``PATHMCP_frenet_approx`` (``/root/reference/DGSQP/solvers/
-    PATHMCP_frenet_approx.py``, 889 LoC) which re-evaluates the contouring/boundary
-    approximations inside the Julia F/J callbacks: here the parameter pytree is recomputed
-    from the current iterate once per Newton iteration.
+    PATHMCP_frenet_approx.py``, 889 LoC), which re-evaluates the contouring/boundary
+    approximations inside the Julia F/J callbacks.  The same cadence here: the
+    ``_approx_update`` hook re-linearizes the MPCC parameter pytree at EVERY residual/
+    Jacobian evaluation point inside the Newton/Josephy loops (``P_of`` in the solve
+    cores), so the MCP the solver converges on is the self-consistent approximate game
+    — a fixed point of both the complementarity system and the re-linearization.
     """
 
     def __init__(self, joint_dynamics, costs, agent_constraints, shared_constraints,
                  bounds, params=None, print_method=print, q_c: float = 0.1,
                  q_l: float = 1000.0, dtype=None):
         from dgsqp_tpu.solvers.dgsqp_v2_frenet import DGSQPV2FrenetApprox
-        from dgsqp_tpu.solvers.solver_types import DGSQPV2Params
+        from dgsqp_tpu.solvers.solver_types import DGSQPV2Params, PATHMCPParams
         # Reuse the frenet-approx cost/constraint augmentation machinery by building a
         # donor solver, then lift its problem + approx hook into this MCP solver.
-        params = params or __import__('dgsqp_tpu.solvers.solver_types',
-                                      fromlist=['PATHMCPParams']).PATHMCPParams()
+        params = params or PATHMCPParams()
         donor = DGSQPV2FrenetApprox(joint_dynamics, costs, agent_constraints,
                                     shared_constraints, bounds,
                                     DGSQPV2Params(N=params.N, dt=params.dt),
@@ -602,13 +626,6 @@ class PATHMCPFrenetApprox(PATHMCP):
                          donor.problem.shared_constraints, bounds, params,
                          print_method=print_method, dtype=dtype)
         self._donor = donor
+        # read at trace time by the solve cores (the jit wrappers built by the base
+        # constructor trace lazily, on first call — after this line runs)
         self._approx_update = donor._evaluate_mpcc
-        # rebuild the jitted cores with the approximation threaded through
-        import jax as _jax
-
-        def core(u0, l0, x0, up, P=None):
-            P = self._approx_update(u0, x0)
-            return PATHMCP._solve_core(self, u0, l0, x0, up, P)
-
-        self._solve_jit = _jax.jit(core)
-        self._solve_batch_jit = _jax.jit(_jax.vmap(core))

@@ -115,7 +115,22 @@ def main():
         return
 
     solver = None
-    if args.formulation == 'approximate':
+    if args.formulation == 'approximate' and args.solver == 'mcp':
+        # approximate-game oracle: PATH-role MCP with per-evaluation MPCC
+        # re-linearization (reference PATHMCP_frenet_approx.py)
+        from dgsqp_tpu.solvers.mcp import PATHMCPFrenetApprox
+        from dgsqp_tpu.solvers.solver_types import PATHMCPParams
+        mcp = PATHMCPFrenetApprox(
+            scenario.joint_model, scenario.costs, scenario.agent_constraints,
+            scenario.shared_constraints, scenario.bounds,
+            PATHMCPParams(N=scenario.N, dt=scenario.dt, tol=args.p_tol,
+                          method=os.environ.get('DGSQP_MCP_METHOD', 'hybrid'),
+                          max_iters=int(os.environ.get('DGSQP_MCP_ITERS', 200)),
+                          max_restarts=int(os.environ.get('DGSQP_MCP_RESTARTS', 4))),
+            print_method=None)
+        res = run_mc_study(scenario, num_samples=args.n, seed=args.seed, solver=mcp,
+                           ibr_ws=args.ibr_ws, dgsqp_ws_iters=args.dgsqp_ws)
+    elif args.formulation == 'approximate':
         params = DGSQPV2Params(N=scenario.N, dt=scenario.dt,
                                sqp_iters=args.sqp_iters, p_tol=args.p_tol,
                                d_tol=args.d_tol, merit_function=args.merit_function,

@@ -40,6 +40,32 @@ def test_frenet_approx_converges():
     assert x[-1, 9] > x[0, 9]
 
 
+@pytest.mark.slow
+def test_mcp_frenet_approx_converges():
+    """The approximate-game MCP oracle (PATHMCPFrenetApprox) solves the PA duel to its
+    own sharp-residual tolerance, with the MPCC linearization recomputed at every
+    evaluation point (reference PATHMCP_frenet_approx.py `_evaluate_mpcc` semantics)."""
+    from dgsqp_tpu.solvers.mcp import PATHMCPFrenetApprox, SOLVED
+    from dgsqp_tpu.solvers.solver_types import PATHMCPParams
+
+    sc = build_approximate_duel(N=N)
+    solver = PATHMCPFrenetApprox(sc.joint_model, sc.costs, sc.agent_constraints,
+                                 sc.shared_constraints, sc.bounds,
+                                 PATHMCPParams(N=N, dt=sc.dt, tol=1e-6,
+                                               method='hybrid', max_iters=100),
+                                 print_method=None)
+    x0 = jnp.asarray([0.3, 0.2, 1.5, 0.0, 0.3,
+                      0.9, -0.2, 1.5, 0.0, 0.9])
+    up = jnp.zeros(6)
+    u0 = jnp.zeros(solver.n_dec)
+    l0 = jnp.zeros(solver.n_c)
+    res = solver._solve_jit(u0, l0, x0, up, None)
+    assert int(res.status) == SOLVED, (int(res.status), float(res.res))
+    # the KKT conditions of the (self-consistently re-linearized) approximate game hold
+    assert float(res.p_feas) < 1e-5
+    assert float(res.stat) < 1e-4
+
+
 def test_pa_sampler_warm_start():
     """The duel sampler detects progress-augmented scenarios and produces PA-layout
     initial states + 3-channel warm starts with the arc-speed channel appended
