@@ -145,6 +145,20 @@ class DGSQPV2Params(DGSQPParams):
     merit_decrease_condition: str = 'armijo'  # or 'max'
     approximation_eval: str = 'always'        # 'once' (frenet-approx variant)
     delta_decay: float = 0.95                 # gamma: d-step trust shrink factor
+    # delta init = factor * ||first (du, dl)|| (reference hardcodes 20,
+    # DGSQP_v2.py:212,471).  factor <= 0 disables the unconditional first d-step so
+    # EVERY iteration is merit-checked — the safe setting for small-reg schedules
+    # (large reg is the reference's only protection against accepting a garbage
+    # first step; see docs/approx_convergence.md)
+    nms_initial_step_size_factor: float = 20.0
+    # relative KKT tolerance: scale the stationarity/complementarity tests by
+    # max(1, ||q||_inf) at the current iterate (the standard eps_rel semantics of the
+    # reference's own QP backend, OSQP).  Off by default (reference tests absolute
+    # residuals, DGSQP_v2.py:393-398); the f32 TPU bench of the approximate (MPCC)
+    # game needs it because that game's gradient scale is O(q_l)=O(1e3), putting an
+    # ABSOLUTE 1e-3 stationarity below the f32 noise floor while the iterate is
+    # already ~1e-5 converged in relative terms (docs/approx_convergence.md)
+    conv_scaled_stat: bool = False
     save_qp_data: bool = False
 
 

@@ -23,6 +23,8 @@ def main():
     ap.add_argument('--batch', type=int, default=4)
     ap.add_argument('--iters', type=int, default=200)
     ap.add_argument('--eval_type', default='once')
+    ap.add_argument('--solver', default='approx', choices=['approx', 'v2', 'v1'],
+                    help='approx = MPCC formulation; v2 = exact game, v2 engine')
     ap.add_argument('--configs', default='100:0.95,10:0.8,1:0.8,0:1.0')
     ap.add_argument('--x64', action='store_true')
     args = ap.parse_args()
@@ -36,22 +38,28 @@ def main():
     import numpy as np
 
     from dgsqp_tpu.harness.bench_setup import build_bench_batch, build_bench_solver
-    from dgsqp_tpu.harness.scenarios import build_approximate_duel
 
-    sc = build_approximate_duel(N=args.N)
+    if args.solver == 'approx':
+        from dgsqp_tpu.harness.scenarios import build_approximate_duel
+        sc = build_approximate_duel(N=args.N)
+    else:
+        from dgsqp_tpu.harness.scenarios import build_chicane_scenario
+        sc = build_chicane_scenario(N=args.N, theta_deg=45.0)
     for cfg in args.configs.split(','):
         reg, decay = (float(v) for v in cfg.split(':'))
         os.environ['DGSQP_BENCH_REG'] = str(reg)
         os.environ['DGSQP_BENCH_REG_DECAY'] = str(decay)
         os.environ['DGSQP_BENCH_EVAL'] = args.eval_type
-        _, solver = build_bench_solver(horizon=args.N, solver_name='approx', scenario=sc)
+        _, solver = build_bench_solver(horizon=args.N, solver_name=args.solver,
+                                       scenario=sc)
         u0, l0, x0, up = build_bench_batch(sc, solver, args.batch, seed=0)
         res, trace = solver.solve_batch_traced(u0, l0, x0, up, num_iters=args.iters)
         st = np.asarray(res.status)
         stat = np.asarray(trace['stat'])
         pf = np.asarray(trace['p_feas'])
-        print(f'\n=== reg={reg} decay={decay} eval={args.eval_type} ===')
+        print(f'\n=== solver={args.solver} reg={reg} decay={decay} eval={args.eval_type} ===')
         print('statuses:', st.tolist(), 'iters:', np.asarray(res.iters).tolist())
+        print('final stat:', ' '.join(f'{v:.2e}' for v in np.asarray(res.stat)))
         step = max(1, args.iters // 10)
         for b in range(args.batch):
             print(f'  g{b} stat: ' + ' '.join(f'{v:9.2e}' for v in stat[b, ::step]))

@@ -45,6 +45,11 @@ def main():
     ap.add_argument('--no_nms', action='store_true')
     ap.add_argument('--reg_init', type=float, default=None)
     ap.add_argument('--reg_decay', type=float, default=None)
+    ap.add_argument('--nms_frequency', type=int, default=None)
+    ap.add_argument('--nms_memory', type=int, default=None)
+    ap.add_argument('--delta0', type=float, default=None,
+                    help='nms_initial_step_size_factor (reference hardcodes 20; '
+                         '0 = merit-check every step incl. the first)')
     ap.add_argument('--dgsqp_ws', type=int, default=0,
                     help='warm-start the oracle solver from a K-iteration DGSQP '
                          'prefix (primal + duals); oracle certification stays its own')
@@ -140,6 +145,12 @@ def main():
             params.reg = args.reg_init
         if args.reg_decay is not None:
             params.reg_decay = args.reg_decay
+        if args.nms_frequency is not None:
+            params.nms_frequency = args.nms_frequency
+        if args.nms_memory is not None:
+            params.nms_memory_size = args.nms_memory
+        if args.delta0 is not None:
+            params.nms_initial_step_size_factor = args.delta0
         solver = DGSQPV2FrenetApprox(scenario.joint_model, scenario.costs,
                                      scenario.agent_constraints,
                                      scenario.shared_constraints, scenario.bounds,
@@ -164,6 +175,12 @@ def main():
             params.reg = args.reg_init
         if args.reg_decay is not None:
             params.reg_decay = args.reg_decay
+        if args.nms_frequency is not None:
+            params.nms_frequency = args.nms_frequency
+        if args.nms_memory is not None:
+            params.nms_memory_size = args.nms_memory
+        if args.delta0 is not None:
+            params.nms_initial_step_size_factor = args.delta0
         res = run_mc_study(scenario, solver_params=params, num_samples=args.n,
                            seed=args.seed, solver_cls=DGSQPV2, n_devices=args.devices,
                            ibr_ws=args.ibr_ws)
