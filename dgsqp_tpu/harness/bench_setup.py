@@ -44,19 +44,29 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                                    'DGSQP_BENCH_MERIT_COND', 'armijo'),
                                nms_frequency=int(os.environ.get('DGSQP_BENCH_NMSFREQ', 1)),
                                nms_memory_size=int(os.environ.get('DGSQP_BENCH_NMSMEM', 10)),
-                               reg=float(os.environ.get('DGSQP_BENCH_REG', 1e2)),
-                               reg_decay=float(os.environ.get('DGSQP_BENCH_REG_DECAY', 0.5)),
+                               # constant reg=1: with every step merit-checked the big
+                               # reg ramp is pure drag — probe sweep (batch 16): 16/16
+                               # conv_abs max 33 iters vs max 38-62 for the 100*decay^k
+                               # schedules whose early rounds just shed regularization
+                               reg=float(os.environ.get('DGSQP_BENCH_REG', 1.0)),
+                               reg_decay=float(os.environ.get('DGSQP_BENCH_REG_DECAY', 1.0)),
                                approximation_eval=os.environ.get('DGSQP_BENCH_EVAL', 'once'),
                                nms_initial_step_size_factor=float(
                                    os.environ.get('DGSQP_BENCH_DELTA0', 0.0)),
                                conv_scaled_stat=os.environ.get(
                                    'DGSQP_BENCH_SCALED', '1') == '1',
-                               # eigh, NOT ns: the MPCC Hessian's O(q_l)=O(1e3)
-                               # eigenvalue spread defeats the Newton-Schulz polynomial
-                               # projection (measured: 42-126 iters with ns vs 12-15
-                               # with eigh on the probe batch); the exact game's O(1)
-                               # scales are fine with ns
-                               conv_method=os.environ.get('DGSQP_BENCH_CONV', 'eigh'),
+                               # ns at the TIGHT setting (20 sign iterations, 1e-4
+                               # safety + Jacobi equilibration): the MPCC Hessian's
+                               # O(q_l)=O(1e3) eigenvalue spread defeats the default
+                               # (14, 1e-3) projection — 42-126 iters vs 12-38 tight
+                               # vs 11-25 eigh on the probe batch; tight ns keeps the
+                               # matmul-only MXU path at near-eigh iteration counts
+                               conv_method=os.environ.get('DGSQP_BENCH_CONV', 'ns'),
+                               conv_ns_iters=int(os.environ.get('DGSQP_BENCH_NS_ITERS', 20)),
+                               conv_ns_safety=float(
+                                   os.environ.get('DGSQP_BENCH_NS_SAFETY', 1e-4)),
+                               conv_ns_equil=os.environ.get(
+                                   'DGSQP_BENCH_NS_EQUIL', '1') == '1',
                                nms=True, qp_tol=qp_tol,
                                stall_its=int(os.environ.get('DGSQP_BENCH_STALL', 0)) or None,
                                qp_box_split=os.environ.get('DGSQP_BENCH_BOX', '1') == '1',

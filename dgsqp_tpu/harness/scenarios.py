@@ -78,6 +78,8 @@ def build_racing_duel(track, N: int = 25, dt: float = 0.1,
                       agent_r: float = 0.4, half_width: float = 1.0,
                       u_a_max: float = 2.1, u_steer_max: float = 0.436,
                       u_a_rate: float = 10.0, u_steer_rate: float = np.pi,
+                      comp_linear: bool = False, drag_coefficient: float = 0.1,
+                      slip_coefficient: float = 0.1, rate_constraints: bool = True,
                       name: str = 'duel') -> Scenario:
     """Two kinematic-bicycle-combined agents racing on a track.
 
@@ -89,7 +91,8 @@ def build_racing_duel(track, N: int = 25, dt: float = 0.1,
     cfg = KinematicBicycleConfig(dt=dt, model_name='kinematic_bicycle_cl', noise=False,
                                  discretization_method='euler',
                                  wheel_dist_front=0.13, wheel_dist_rear=0.13,
-                                 drag_coefficient=0.1, slip_coefficient=0.1, code_gen=False)
+                                 drag_coefficient=drag_coefficient,
+                                 slip_coefficient=slip_coefficient, code_gen=False)
     ego = KinematicBicycleCombined(0.0, cfg, track=track)
     tar = KinematicBicycleCombined(0.0, KinematicBicycleConfig(**{**cfg.__dict__}), track=track)
     joint = MultiAgentDynamicsModel(0.0, [ego, tar], MultiAgentModelConfig(dt=dt))
@@ -116,7 +119,13 @@ def build_racing_duel(track, N: int = 25, dt: float = 0.1,
             return c
 
         def term(x):
-            c = -comp_weights[0] * x[own_s] + comp_weights[1] * jnp.arctan(x[other_s] - x[own_s])
+            if comp_linear:
+                # journal comparison-study competitive term (exact_dynamic_game.py:
+                # car1_comp_cost, linear); the ICRA MC scripts use the arctan form
+                c = -comp_weights[0] * x[own_s] + comp_weights[1] * (x[other_s] - x[own_s])
+            else:
+                c = -comp_weights[0] * x[own_s] \
+                    + comp_weights[1] * jnp.arctan(x[other_s] - x[own_s])
             if blocking_weight > 0:
                 c = c + 0.5 * blocking_weight * (x[own_ey] - x[other_ey]) ** 2
             if obs_weight > 0:
@@ -137,7 +146,12 @@ def build_racing_duel(track, N: int = 25, dt: float = 0.1,
                           (u[1] - um[1]) - dt * u_steer_rate,
                           dt * (-u_steer_rate) - (u[1] - um[1])])
 
-    agent_constraints = [[rate_constr] * N + [None], [rate_constr] * N + [None]]
+    if rate_constraints:
+        agent_constraints = [[rate_constr] * N + [None], [rate_constr] * N + [None]]
+    else:
+        # journal comparison-study convention: rate rows built but passed as None
+        # (exact_dynamic_game.py:186-199)
+        agent_constraints = [[None] * (N + 1), [None] * (N + 1)]
 
     # shared collision avoidance: (obs_d)^2 - ||p_ego - p_tar||^2 <= 0, stages 1..N
     def obs_avoid(x, u, um):
@@ -527,16 +541,14 @@ def build_approximate_duel(track=None, N: int = 25, dt: float = 0.1,
 
     shared_constraints = [None] + [obs_avoid] * (N - 1) + [obs_avoid_term]
 
-    # rate constraints as agent constraints (comparison study puts them per agent)
-    def rate_constr(x, u, um):
-        return jnp.array([(u[0] - um[0]) - dt * u_a_rate,
-                          -dt * u_a_rate - (u[0] - um[0]),
-                          (u[1] - um[1]) - dt * u_steer_rate,
-                          -dt * u_steer_rate - (u[1] - um[1]),
-                          (u[2] - um[2]) - dt * u_ds_rate,
-                          -dt * u_ds_rate - (u[2] - um[2])])
-
-    agent_constraints = [[rate_constr] * N + [None], [rate_constr] * N + [None]]
+    # NO agent constraints — reference-faithful (approximate_dynamic_game.py:194-201
+    # builds rate rows but passes None).  Rate rows are NOT a harmless addition here:
+    # with u_prev=0 they cap the virtual arc-speed channel at u_ds(0) <= dt*u_ds_rate
+    # = 0.5 m/s while the car moves at 2-3 m/s, and the q_l=1e3 lag cost then forces a
+    # brake-and-swerve start that is an equilibrium of a DIFFERENT game than the exact
+    # formulation's (measured: 0% exact<->approx match with the rows, see
+    # docs/match_exact_approx_chicane_N25.json history)
+    agent_constraints = [[None] * (N + 1), [None] * (N + 1)]
 
     def bound(sign):
         st = VehicleState(
@@ -559,6 +571,36 @@ def build_approximate_duel(track=None, N: int = 25, dt: float = 0.1,
                     input_lb=np.array([-u_a_max, -u_steer_max, 0.0]),
                     input_rate_ub=np.array([u_a_rate, u_steer_rate, u_ds_rate]),
                     input_rate_lb=np.array([-u_a_rate, -u_steer_rate, -u_ds_rate]))
+
+
+def build_exact_duel(track=None, N: int = 25, dt: float = 0.1,
+                     comp_weights=(1.0, 5.0), agent_r: float = 0.21,
+                     half_width: float = 1.0, name: str = 'exact_duel') -> Scenario:
+    """EXACT-formulation counterpart of :func:`build_approximate_duel` — the journal
+    comparison study's exact game (``comparison_study_barc/exact_dynamic_game.py:13-240``)
+    on the same track with the same costs: frenet-combined kinematic bicycles, quadratic
+    input + input-rate stage costs (weights 1.0), LINEAR terminal progress/competition
+    ``-c0*s_own + c1*(s_other - s_own)``, shared collision avoidance (radius 0.21 each,
+    matching the approximate duel), track kept via the |x_tran| <= half-width state
+    bound.  NO agent constraints, like the reference study (both its builders create
+    input-rate rows but pass None) — the two formulations of the SAME game then differ
+    only in how the track geometry enters.
+    """
+    if track is None:
+        track = ChicaneTrack(enter_straight_length=1, curve1_length=4,
+                             curve1_swept_angle=np.pi / 4, mid_straight_length=1,
+                             exit_straight_length=5, curve2_length=4,
+                             curve2_swept_angle=np.pi / 4, width=half_width * 2,
+                             slack=0.8, mirror=False)
+    # drag/slip 0: the comparison-study configs leave them at their defaults
+    # (exact_dynamic_game.py KinematicBicycleConfig) and the progress-augmented model
+    # carries none — the two formulations must share the identical plant
+    return build_racing_duel(track, N=N, dt=dt, comp_weights=comp_weights,
+                             input_weight=(1.0, 1.0), input_rate_weight=(1.0, 1.0),
+                             agent_r=agent_r, half_width=half_width,
+                             u_a_rate=10.0, u_steer_rate=4.5, comp_linear=True,
+                             drag_coefficient=0.0, slip_coefficient=0.0,
+                             rate_constraints=False, name=name)
 
 
 def joint_constraints_for_algames(scenario):

@@ -204,7 +204,11 @@ class DGSQP:
 
     def _qp(self, Q, q, G, g, warm=None):
         method = getattr(self.params, 'conv_method', 'eigh')
-        Qh = regularized_convexification(Q, self.params.reg, method=method)
+        Qh = regularized_convexification(
+            Q, self.params.reg, method=method,
+            ns_iters=getattr(self.params, 'conv_ns_iters', 14),
+            ns_safety=getattr(self.params, 'conv_ns_safety', 1e-3),
+            ns_equilibrate=getattr(self.params, 'conv_ns_equil', False))
         # conv_method='none' keeps the indefinite game Hessian and routes the QP to the
         # nonconvex kernel path (the reference's IPOPT/CPLEX OptimalityTarget=2 option,
         # DGSQP.py:204-228)

@@ -186,9 +186,15 @@ class DGSQPV2:
         method = getattr(self.params, 'conv_method', 'eigh')
         if method == 'ns':
             # Newton-Schulz PSD projection: matmul-only (MXU) — measured 3.4x faster
-            # than the batched eigh QR algorithm at the bench shapes (profile_kernels)
+            # than the batched eigh QR algorithm at the bench shapes (profile_kernels).
+            # The MPCC game needs the tighter (iters=20, safety=1e-4) setting: at the
+            # defaults its mixed cost scales leave a phantom O(1) regularizer
+            # (see nearest_pd_ns docstring)
             from dgsqp_tpu.utils.math import nearest_pd_ns
-            Qh = nearest_pd_ns(Q) + reg * jnp.eye(self.n_dec, dtype=self.dtype)
+            Qh = nearest_pd_ns(Q, iters=getattr(self.params, 'conv_ns_iters', 14),
+                               safety=getattr(self.params, 'conv_ns_safety', 1e-3),
+                               equilibrate=getattr(self.params, 'conv_ns_equil', False)) \
+                + reg * jnp.eye(self.n_dec, dtype=self.dtype)
         else:
             Qh = nearest_pd(Q) + reg * jnp.eye(self.n_dec, dtype=self.dtype)
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol if hasattr(self.params, 'qp_tol')

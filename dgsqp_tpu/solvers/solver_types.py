@@ -122,6 +122,13 @@ class DGSQPParams(ControllerConfig):
     # Hessian PSD projection: 'eigh' = exact eigenvalue clipping (reference semantics);
     # 'ns' = Newton-Schulz matmul-only approximation (MXU-friendly, ~1e-3 accuracy).
     conv_method: str = 'eigh'
+    # 'ns' accuracy knobs: sign-iteration count, the relative diagonal safety
+    # shift, and symmetric Jacobi pre-equilibration.  Problems with mixed cost
+    # scales (the MPCC game) need the tighter (20, 1e-4, equilibrated) setting —
+    # see nearest_pd_ns
+    conv_ns_iters: int = 14
+    conv_ns_safety: float = 1e-3
+    conv_ns_equil: bool = False
     # Lockstep execution model: 'auto' uses the flattened SQP+watchdog round machine
     # (one evaluate + QP + line search per round, per-game mode state) whenever the
     # watchdog is on and Hessians are exact; 'nested'/'flat' force a model.

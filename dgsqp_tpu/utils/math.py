@@ -42,7 +42,8 @@ def nearest_pd(A, min_eig: float = 1e-10):
 
 
 def regularized_convexification(A, reg: float, min_eig: float = 1e-10,
-                                method: str = 'eigh'):
+                                method: str = 'eigh', ns_iters: int = 14,
+                                ns_safety: float = 1e-3, ns_equilibrate: bool = False):
     """``nearest_pd(A) + reg*I`` — the exact Hessian treatment the reference's QP subproblem
     applies before each solve (``solvers/DGSQP.py:232-239``).
 
@@ -58,13 +59,15 @@ def regularized_convexification(A, reg: float, min_eig: float = 1e-10,
         # (``DGSQP.py:204-228``); requires the indefinite QP kernel.
         Q = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     else:
-        Q = nearest_pd_ns(A) if method == 'ns' else nearest_pd(A, min_eig)
+        Q = nearest_pd_ns(A, iters=ns_iters, safety=ns_safety,
+                          equilibrate=ns_equilibrate) if method == 'ns' \
+            else nearest_pd(A, min_eig)
     if reg > 0:
         Q = Q + reg * jnp.eye(n, dtype=A.dtype)
     return Q
 
 
-def nearest_pd_ns(A, iters: int = 14, safety: float = 1e-3):
+def nearest_pd_ns(A, iters: int = 14, safety: float = 1e-3, equilibrate: bool = False):
     """PSD projection via a Newton-Schulz matrix sign/sqrt iteration — matmul only.
 
     For symmetric B, ``clip(eigvals, 0)`` equals ``(B + |B|)/2`` with ``|B| = sqrtm(B^2)``.
@@ -73,10 +76,28 @@ def nearest_pd_ns(A, iters: int = 14, safety: float = 1e-3):
     small sequential ops on TPU.  Accuracy is ~1e-3 relative in f32, so a small diagonal
     safety shift keeps the result factorizable; this is an approximation knob for the hot
     path, not a semantic replacement for the reference's exact eigenvalue clipping.
+
+    ``equilibrate`` applies a symmetric Jacobi scaling ``B' = D B D`` (D from the
+    diagonal / row maxima) before the sign iteration and undoes it after.  Congruence
+    preserves the PSD cone, so the result is still a valid convexification, but the
+    scaled spectrum is O(1) per channel: without it, a Hessian with mixed cost scales
+    (the MPCC game carries q_l=1e3 quadratics next to O(1) input costs) has its small
+    eigenvalues crushed to ~1e-3 of the Frobenius norm, below what the polynomial
+    iteration resolves, and the safety shift turns into an O(1) phantom regularizer
+    (measured: the approximate game needed 42-126 SQP iterations vs 12-15 with eigh;
+    with equilibration NS matches eigh).
     """
     n = A.shape[-1]
     B = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     eye = jnp.eye(n, dtype=A.dtype)
+    if equilibrate:
+        diag = jnp.abs(jnp.diagonal(B, axis1=-2, axis2=-1))
+        rowmax = jnp.max(jnp.abs(B), axis=-1)
+        # rows with a negligible diagonal but live off-diagonals (pure bilinear
+        # game-coupling terms) fall back to the row-inf norm
+        d = jnp.sqrt(jnp.maximum(jnp.maximum(diag, 1e-2 * rowmax), 1e-8))
+        dinv = 1.0 / d
+        B = B * dinv[..., :, None] * dinv[..., None, :]
     # scale so eigenvalues lie in [-1, 1] (Frobenius bound)
     nrm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1), keepdims=True)) + 1e-30
     Y = B / nrm
@@ -93,4 +114,7 @@ def nearest_pd_ns(A, iters: int = 14, safety: float = 1e-3):
     # ~safety * ||A||_F (measured ~2e-4 relative on chicane game Hessians); the shift must
     # dominate them or downstream Cholesky factorizations break.
     shift = safety * jnp.sqrt(jnp.sum(P * P, axis=(-2, -1), keepdims=True))
-    return P + shift * eye
+    P = P + shift * eye
+    if equilibrate:
+        P = P * d[..., :, None] * d[..., None, :]
+    return P

@@ -24,7 +24,10 @@ import json
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--scenario', default='chicane',
-                    choices=['chicane', 'curve', 'merge', 'agents', 'dynamic'])
+                    choices=['chicane', 'curve', 'merge', 'agents', 'dynamic', 'duel'],
+                    help="'duel' = the journal comparison-study game (same costs in "
+                         "both formulations: exact = build_exact_duel, approximate = "
+                         "build_approximate_duel on the same track)")
     ap.add_argument('--cost_setting', type=int, default=0,
                     help='dynamic study cost setting (reference '
                          'exact_dynamic_game_dynamic.py:103-118)')
@@ -41,7 +44,9 @@ def main():
     ap.add_argument('--d_tol', type=float, default=1e-3)
     ap.add_argument('--merit_function', default='stat_l1')
     ap.add_argument('--merit_decrease_condition', default='armijo')
-    ap.add_argument('--eval_type', default='always', choices=['always', 'once'])
+    ap.add_argument('--eval_type', default='once', choices=['always', 'once'],
+                    help="MPCC re-linearization cadence: 'once' per SQP iteration, "
+                         "'always' additionally at every merit/trial point")
     ap.add_argument('--no_nms', action='store_true')
     ap.add_argument('--reg_init', type=float, default=None)
     ap.add_argument('--reg_decay', type=float, default=None)
@@ -97,6 +102,9 @@ def main():
     if args.scenario == 'dynamic':
         from dgsqp_tpu.harness.scenarios import build_dynamic_duel
         scenario = build_dynamic_duel(N=args.N, cost_setting=args.cost_setting)
+    elif args.scenario == 'duel' and args.formulation == 'exact':
+        from dgsqp_tpu.harness.scenarios import build_exact_duel
+        scenario = build_exact_duel(N=args.N)
     elif args.formulation == 'approximate':
         scenario = build_approximate_duel(N=args.N)
     elif args.scenario == 'chicane':
@@ -136,11 +144,18 @@ def main():
         res = run_mc_study(scenario, num_samples=args.n, seed=args.seed, solver=mcp,
                            ibr_ws=args.ibr_ws, dgsqp_ws_iters=args.dgsqp_ws)
     elif args.formulation == 'approximate':
+        # measured-best MPCC operating point (docs/approx_convergence.md): every step
+        # merit-checked (freq=1, delta0=0) + fast reg shedding + eigh convexification
+        # + gradient-scaled KKT tolerance for the O(q_l)=O(1e3) gradient scale
         params = DGSQPV2Params(N=scenario.N, dt=scenario.dt,
-                               sqp_iters=args.sqp_iters, p_tol=args.p_tol,
+                               sqp_iters=max(args.sqp_iters, 150), p_tol=args.p_tol,
                                d_tol=args.d_tol, merit_function=args.merit_function,
                                merit_decrease_condition=args.merit_decrease_condition,
-                               approximation_eval=args.eval_type, nms=not args.no_nms)
+                               approximation_eval=args.eval_type,
+                               reg=1e2, reg_decay=0.5, nms_frequency=1,
+                               nms_memory_size=10, nms_initial_step_size_factor=0.0,
+                               conv_scaled_stat=True, conv_method='eigh',
+                               nms=not args.no_nms)
         if args.reg_init is not None:
             params.reg = args.reg_init
         if args.reg_decay is not None:

@@ -534,6 +534,22 @@ def test_newton_schulz_psd_projection():
         scale = np.linalg.norm(np.asarray(P_ref))
         err = np.linalg.norm(np.asarray(P_ns - P_ref)) / scale
         assert err < 2e-2, err
+        # equilibrated variant: a valid convexification (PSD), and near-exact on a
+        # mixed-scale nearly-PSD Hessian where the plain iteration's safety shift
+        # turns into an O(1) phantom regularizer (the MPCC-game failure mode)
+        P_eq = nearest_pd_ns(A, equilibrate=True)
+        s_eq = np.linalg.eigvalsh(np.asarray(P_eq))
+        assert s_eq.min() > -1e-6, s_eq.min()
+    d = jnp.asarray(np.concatenate([np.full(5, 1e3), np.ones(15)]))
+    R = jnp.asarray(rng.normal(size=(20, 20)))
+    A = jnp.diag(d) + 0.05 * jnp.sqrt(d[:, None] * d[None, :]) * (R + R.T)
+    P_ref = nearest_pd(A)
+    P_eq = nearest_pd_ns(A, iters=20, safety=1e-4, equilibrate=True)
+    err_eq = np.linalg.norm(np.asarray(P_eq - P_ref)) / np.linalg.norm(np.asarray(P_ref))
+    err_pl = np.linalg.norm(np.asarray(nearest_pd_ns(A) - P_ref)) \
+        / np.linalg.norm(np.asarray(P_ref))
+    assert err_eq < 1e-2, err_eq
+    assert err_eq < err_pl, (err_eq, err_pl)
 
 
 def test_traced_solve_records_conditioning():
