@@ -120,6 +120,33 @@ class _ProgressAugmentedMixin:
             return G, g
         return f
 
+    def contouring_lag_cost_exact(self, contouring_cost: float, lag_cost: float):
+        """EXACT contouring/lag penalty ``1/2 q_c e_c(q)^2 + 1/2 q_l e_l(q)^2``.
+
+        TPU-native alternative to :meth:`contouring_lag_quad_approx`: the track
+        splines are jnp-differentiable, so the solver can differentiate THROUGH the
+        geometry instead of freezing a Gauss-Newton quadratic at the previous iterate.
+        The frozen-P iteration is a damped fixed point that creeps (~400 iterations to
+        stat 1e-3, matching the reference's sqp_iters=500 budget); exact evaluation
+        restores ordinary SQP local convergence.  No reference counterpart — CasADi
+        would need the linearization inside its symbolic graph.
+        """
+        def f(q, z):
+            ec, el = self.contouring_lag_errors(q, z)
+            return 0.5 * contouring_cost * ec ** 2 + 0.5 * lag_cost * el ** 2
+        return f
+
+    def track_boundary_constraint_exact(self):
+        """EXACT track-boundary half-planes evaluated at the state's own arc position
+        (the linearization point of :meth:`track_boundary_lin_approx` moving with q,
+        differentiable through s)."""
+        f_lin = self.track_boundary_lin_approx()
+
+        def f(q):
+            G, g = f_lin(q)
+            return G @ q + g
+        return f
+
     def arcspeed_cost(self, magnitude_weight: float, performance_weight: float):
         """u_ds magnitude/progress cost (reference ``get_arcspeed_cost``,
         ``dynamics_models.py:1342-1346``)."""

@@ -50,21 +50,27 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
                                # schedules whose early rounds just shed regularization
                                reg=float(os.environ.get('DGSQP_BENCH_REG', 1.0)),
                                reg_decay=float(os.environ.get('DGSQP_BENCH_REG_DECAY', 1.0)),
-                               approximation_eval=os.environ.get('DGSQP_BENCH_EVAL', 'once'),
+                               # 'exact' (TPU-native): differentiate through the track
+                               # geometry instead of freezing the MPCC linearization —
+                               # the frozen-P fixed point creeps ~400 iterations; exact
+                               # + the indefinite QP kernel solves in 21-39 (x64 8/8
+                               # conv_abs; docs/approx_convergence.md round-4 part 2)
+                               approximation_eval=os.environ.get('DGSQP_BENCH_EVAL', 'exact'),
                                nms_initial_step_size_factor=float(
                                    os.environ.get('DGSQP_BENCH_DELTA0', 0.0)),
                                conv_scaled_stat=os.environ.get(
                                    'DGSQP_BENCH_SCALED', '1') == '1',
-                               # ns at the TIGHT setting (20 sign iterations, 1e-4
-                               # safety + Jacobi equilibration): the MPCC Hessian's
-                               # O(q_l)=O(1e3) eigenvalue spread defeats the default
-                               # (14, 1e-3) projection — 42-126 iters vs 12-38 tight
-                               # vs 11-25 eigh on the probe batch; tight ns keeps the
-                               # matmul-only MXU path at near-eigh iteration counts
+                               # exact-mode Hessians need an ACCURATE PSD projection
+                               # (sloppy clipping leaves a ~0.95-rate linear creep);
+                               # ns at (30, 1e-5, equilibrated) matches eigh's
+                               # iteration counts (37-62 vs 23-80 f32 probe) at
+                               # matmul-only cost — eigh's batched QR algorithm is
+                               # ~350 ms/round at these shapes on TPU.  The true
+                               # indefinite (Levenberg-LU) path is unstable here.
                                conv_method=os.environ.get('DGSQP_BENCH_CONV', 'ns'),
-                               conv_ns_iters=int(os.environ.get('DGSQP_BENCH_NS_ITERS', 20)),
+                               conv_ns_iters=int(os.environ.get('DGSQP_BENCH_NS_ITERS', 30)),
                                conv_ns_safety=float(
-                                   os.environ.get('DGSQP_BENCH_NS_SAFETY', 1e-4)),
+                                   os.environ.get('DGSQP_BENCH_NS_SAFETY', 1e-5)),
                                conv_ns_equil=os.environ.get(
                                    'DGSQP_BENCH_NS_EQUIL', '1') == '1',
                                nms=True, qp_tol=qp_tol,
@@ -156,6 +162,8 @@ def build_bench_batch(sc, solver, batch: int, seed: int = 0, device=None):
     u0 = jax.vmap(solver.problem.stage_to_u)(jnp.asarray(u_ws, dtype))
     x0 = jnp.asarray(x0, dtype)
     up = jnp.zeros((batch, sc.joint_model.n_u), dtype)
+    from dgsqp_tpu.harness.warm_start import seed_virtual_rate_prev
+    up = seed_virtual_rate_prev(up, jnp.asarray(u_ws, dtype)[:, 0, :], sc.joint_model)
     def _dws(u, x, p):
         # approximate-game solvers need their parameter pytree (contouring/boundary
         # linearizations) built from the warm start before any constraint evaluate

@@ -289,6 +289,8 @@ def run_f1_study(N: int = 15, num_samples: int = 10, seed: int = 0,
                                for u in u_ws]))
     x0 = jnp.asarray(x0, dtype)
     up = jnp.zeros((num_samples, sc.joint_model.n_u), dtype)
+    from dgsqp_tpu.harness.warm_start import seed_virtual_rate_prev
+    up = seed_virtual_rate_prev(up, jnp.asarray(u_ws, dtype)[:, 0, :], sc.joint_model)
     l0 = jnp.zeros((num_samples, slv.n_c), dtype)
 
     import time

@@ -129,6 +129,9 @@ def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int
     x0, u_ws, _, _ = _sample(scenario, num_samples, seed)
     u0 = np.asarray(jax.vmap(solver.problem.stage_to_u)(jnp.asarray(u_ws, dtype)))
     up = np.zeros((num_samples, scenario.joint_model.n_u), dtype=np.asarray(u0).dtype)
+    from dgsqp_tpu.harness.warm_start import seed_virtual_rate_prev
+    up = np.asarray(seed_virtual_rate_prev(up, jnp.asarray(u_ws, dtype)[:, 0, :],
+                                           scenario.joint_model))
     if ibr_ws:
         from dgsqp_tpu.solvers.ibr import IBR
         from dgsqp_tpu.solvers.solver_types import IBRParams

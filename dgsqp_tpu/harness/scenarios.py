@@ -541,14 +541,28 @@ def build_approximate_duel(track=None, N: int = 25, dt: float = 0.1,
 
     shared_constraints = [None] + [obs_avoid] * (N - 1) + [obs_avoid_term]
 
-    # NO agent constraints — reference-faithful (approximate_dynamic_game.py:194-201
-    # builds rate rows but passes None).  Rate rows are NOT a harmless addition here:
-    # with u_prev=0 they cap the virtual arc-speed channel at u_ds(0) <= dt*u_ds_rate
-    # = 0.5 m/s while the car moves at 2-3 m/s, and the q_l=1e3 lag cost then forces a
-    # brake-and-swerve start that is an equilibrium of a DIFFERENT game than the exact
-    # formulation's (measured: 0% exact<->approx match with the rows, see
-    # docs/match_exact_approx_chicane_N25.json history)
-    agent_constraints = [[None] * (N + 1), [None] * (N + 1)]
+    # Input-rate rows as agent constraints.  The reference study builds these rows but
+    # passes None (approximate_dynamic_game.py:194-201) and instead tames the MPCC's
+    # linearization-chasing with its reg~1e2 proximal schedule over ~400 creeping
+    # iterations (measured: our engine reproduces exactly that — 405-451 x64
+    # iterations to stat 1e-3 without the rows).  The rows are the TPU-native answer:
+    # they act as a per-stage trust region that keeps the re-linearization point
+    # honest, giving 11-25-iteration solves.  Two conditions keep the game faithful:
+    # (1) build_exact_duel carries the identical rows on the real channels, and
+    # (2) the virtual arc-speed channel's previous input must be seeded with the
+    # car's actual initial progress rate (samplers/bench set u_prev[u_ds] = ds0) —
+    # with u_prev=0 the row caps u_ds(0) at 0.5 m/s while the car moves at 2-3 m/s
+    # and the q_l=1e3 lag cost forces a brake-and-swerve start (measured: 0%
+    # exact<->approx match)
+    def rate_constr(x, u, um):
+        return jnp.array([(u[0] - um[0]) - dt * u_a_rate,
+                          -dt * u_a_rate - (u[0] - um[0]),
+                          (u[1] - um[1]) - dt * u_steer_rate,
+                          -dt * u_steer_rate - (u[1] - um[1]),
+                          (u[2] - um[2]) - dt * u_ds_rate,
+                          -dt * u_ds_rate - (u[2] - um[2])])
+
+    agent_constraints = [[rate_constr] * N + [None], [rate_constr] * N + [None]]
 
     def bound(sign):
         st = VehicleState(
@@ -582,9 +596,10 @@ def build_exact_duel(track=None, N: int = 25, dt: float = 0.1,
     input + input-rate stage costs (weights 1.0), LINEAR terminal progress/competition
     ``-c0*s_own + c1*(s_other - s_own)``, shared collision avoidance (radius 0.21 each,
     matching the approximate duel), track kept via the |x_tran| <= half-width state
-    bound.  NO agent constraints, like the reference study (both its builders create
-    input-rate rows but pass None) — the two formulations of the SAME game then differ
-    only in how the track geometry enters.
+    bound.  Input-rate rows on the real channels mirror the approximate duel's (the
+    reference study passes None in both builders and pays ~400 proximal iterations
+    instead — see the rate-row note in build_approximate_duel), so the two
+    formulations of the SAME game differ only in how the track geometry enters.
     """
     if track is None:
         track = ChicaneTrack(enter_straight_length=1, curve1_length=4,
@@ -600,7 +615,7 @@ def build_exact_duel(track=None, N: int = 25, dt: float = 0.1,
                              agent_r=agent_r, half_width=half_width,
                              u_a_rate=10.0, u_steer_rate=4.5, comp_linear=True,
                              drag_coefficient=0.0, slip_coefficient=0.0,
-                             rate_constraints=False, name=name)
+                             rate_constraints=True, name=name)
 
 
 def joint_constraints_for_algames(scenario):

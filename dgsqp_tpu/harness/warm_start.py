@@ -104,6 +104,28 @@ def pid_warm_start(scenario, q0_joint, v_refs, lat_refs):
 duel_warm_start = pid_warm_start
 
 
+def seed_virtual_rate_prev(up, u_ws_stage0, joint_model):
+    """Seed the previous-input vector's VIRTUAL arc-speed channels from the warm start.
+
+    The progress-augmented (MPCC) formulation adds a virtual input ``u_ds`` (arc speed
+    of the reference point).  Its physically meaningful "previous value" at the initial
+    stage is the car's actual progress rate ``sdot(0)`` — the PID warm start's first
+    ``ds`` value — not 0: with ``u_prev = 0`` the input-rate rows cap ``u_ds(0)`` at
+    ``dt * u_ds_rate`` (0.5 m/s) while the car moves at 2-3 m/s, and the q_l=1e3 lag
+    cost then forces a brake-and-swerve start (see build_approximate_duel).  The real
+    channels keep ``u_prev = 0`` like the exact formulation's.
+    """
+    import numpy as np
+    offs = np.cumsum([0] + [getattr(m, 'n_u', 2)
+                            for m in joint_model.dynamics_models])
+    up = jnp.asarray(up)
+    for a, m in enumerate(joint_model.dynamics_models):
+        if getattr(m, 'n_u', 2) >= 3:
+            idx = int(offs[a]) + 2          # u_ds = third channel of a PA agent
+            up = up.at[..., idx].set(u_ws_stage0[..., idx])
+    return up
+
+
 def pa_twins(scenario):
     """Combined-bicycle twins for warm-starting progress-augmented scenarios.
 

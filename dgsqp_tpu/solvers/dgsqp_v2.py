@@ -195,10 +195,18 @@ class DGSQPV2:
                                safety=getattr(self.params, 'conv_ns_safety', 1e-3),
                                equilibrate=getattr(self.params, 'conv_ns_equil', False)) \
                 + reg * jnp.eye(self.n_dec, dtype=self.dtype)
+        elif method == 'none':
+            # indefinite path: symmetrize + Levenberg shift only, NO PSD projection —
+            # the QP keeps the exact (possibly indefinite) game Hessian and the kernel
+            # runs its Levenberg-LU factorization (the reference's qrqp/CPLEX
+            # OptimalityTarget=2 option, DGSQP.py:204-228)
+            Qh = 0.5 * (Q + jnp.swapaxes(Q, -1, -2)) \
+                + reg * jnp.eye(self.n_dec, dtype=self.dtype)
         else:
             Qh = nearest_pd(Q) + reg * jnp.eye(self.n_dec, dtype=self.dtype)
         sol = solve_qp(Qh, q, G, -g, tol=self.params.qp_tol if hasattr(self.params, 'qp_tol')
-                       else 1e-8, max_iters=50, box=getattr(self, '_qp_box', None),
+                       else 1e-8, max_iters=50, indefinite=(method == 'none'),
+                       box=getattr(self, '_qp_box', None),
                        pairs=getattr(self, '_qp_pairs', None),
                        correctors=getattr(self.params, 'qp_correctors', 0))
         return sol.x, sol.lam, sol.ok

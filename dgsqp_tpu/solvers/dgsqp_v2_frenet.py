@@ -47,9 +47,29 @@ class DGSQPV2FrenetApprox(DGSQPV2):
         self._f_tb = [m.track_boundary_lin_approx() for m in models]
         n_qa = [m.n_q for m in models]
         q_offsets = joint_dynamics.q_offsets
+        # 'exact': differentiate through the track geometry instead of freezing a
+        # per-iteration linearization (see contouring_lag_cost_exact) — the frozen-P
+        # outer loop is a damped fixed point needing ~400 iterations; exact evaluation
+        # gives ordinary SQP convergence.  Our TPU-native extension (no reference row).
+        exact = getattr(params, 'approximation_eval', 'always') == 'exact'
+        f_cl_x = [m.contouring_lag_cost_exact(q_c, q_l) for m in models]
+        f_tb_x = [m.track_boundary_constraint_exact() for m in models]
+        zref = [jnp.zeros(N + 1) for _ in range(M)]
 
         # ---- augment costs with the P-parameterized contouring/lag quadratic
         def make_cl_cost(a):
+            if exact:
+                def stage(x, u, um, P, k):
+                    qa = jax.lax.dynamic_slice(x, (q_offsets[a],), (n_qa[a],))
+                    return f_cl_x[a](qa, zref[a][k])
+                stage.stage_indexed = True
+
+                def term(x, P, k):
+                    qa = jax.lax.dynamic_slice(x, (q_offsets[a],), (n_qa[a],))
+                    return f_cl_x[a](qa, zref[a][k])
+                term.stage_indexed = True
+                return stage, term
+
             def stage(x, u, um, P, k):
                 qa = jax.lax.dynamic_slice(x, (q_offsets[a],), (n_qa[a],))
                 Qe = P['Qe'][a][k]
@@ -81,6 +101,20 @@ class DGSQPV2FrenetApprox(DGSQPV2):
 
         # ---- augment agent constraints with the boundary half-planes
         def make_tb_constr(a):
+            if exact:
+                def stage(x, u, um, P, k):
+                    qa = jax.lax.dynamic_slice(x, (q_offsets[a],), (n_qa[a],))
+                    return f_tb_x[a](qa)
+                stage.stage_indexed = True
+                stage.n_out = 2
+
+                def term(x, P, k):
+                    qa = jax.lax.dynamic_slice(x, (q_offsets[a],), (n_qa[a],))
+                    return f_tb_x[a](qa)
+                term.stage_indexed = True
+                term.n_out = 2
+                return stage, term
+
             def stage(x, u, um, P, k):
                 qa = jax.lax.dynamic_slice(x, (q_offsets[a],), (n_qa[a],))
                 return P['Gtb'][a][k] @ qa + P['gtb'][a][k]
@@ -116,7 +150,9 @@ class DGSQPV2FrenetApprox(DGSQPV2):
         self.reference = [np.zeros(N + 1) for _ in range(M)]
         self._n_qa = n_qa
         self._q_off = q_offsets
-        self._approx_update = self._evaluate_mpcc
+        # exact mode needs no parameter pytree — costs/constraints close over the
+        # differentiable track splines directly
+        self._approx_update = None if exact else self._evaluate_mpcc
 
     # closure factories (kept as methods so identical base fns share identity per stage)
     @staticmethod

@@ -44,9 +44,17 @@ def main():
     ap.add_argument('--d_tol', type=float, default=1e-3)
     ap.add_argument('--merit_function', default='stat_l1')
     ap.add_argument('--merit_decrease_condition', default='armijo')
-    ap.add_argument('--eval_type', default='once', choices=['always', 'once'],
-                    help="MPCC re-linearization cadence: 'once' per SQP iteration, "
-                         "'always' additionally at every merit/trial point")
+    ap.add_argument('--eval_type', default='exact', choices=['always', 'once', 'exact'],
+                    help="MPCC geometry cadence: 'once' re-linearizes per SQP "
+                         "iteration, 'always' additionally at every merit/trial point "
+                         "(both reference-faithful frozen-P modes, ~400-iteration "
+                         "fixed point); 'exact' differentiates through the track "
+                         "splines (TPU-native, 21-39 iterations)")
+    ap.add_argument('--conv', default=None, choices=['eigh', 'ns', 'none'],
+                    help="Hessian convexification; the approximate game defaults to "
+                         "'eigh' (exact clipping — a sloppy projection leaves a "
+                         "~0.95-rate creep on the MPCC Hessian; 'none' = indefinite "
+                         "kernel, unstable on this game)")
     ap.add_argument('--no_nms', action='store_true')
     ap.add_argument('--reg_init', type=float, default=None)
     ap.add_argument('--reg_decay', type=float, default=None)
@@ -145,16 +153,17 @@ def main():
                            ibr_ws=args.ibr_ws, dgsqp_ws_iters=args.dgsqp_ws)
     elif args.formulation == 'approximate':
         # measured-best MPCC operating point (docs/approx_convergence.md): every step
-        # merit-checked (freq=1, delta0=0) + fast reg shedding + eigh convexification
-        # + gradient-scaled KKT tolerance for the O(q_l)=O(1e3) gradient scale
+        # merit-checked (freq=1, delta0=0), exact track-geometry evaluation, the
+        # indefinite QP kernel, constant reg=1, gradient-scaled KKT tolerance
         params = DGSQPV2Params(N=scenario.N, dt=scenario.dt,
                                sqp_iters=max(args.sqp_iters, 150), p_tol=args.p_tol,
                                d_tol=args.d_tol, merit_function=args.merit_function,
                                merit_decrease_condition=args.merit_decrease_condition,
                                approximation_eval=args.eval_type,
-                               reg=1e2, reg_decay=0.5, nms_frequency=1,
+                               reg=1.0, reg_decay=1.0, nms_frequency=1,
                                nms_memory_size=10, nms_initial_step_size_factor=0.0,
-                               conv_scaled_stat=True, conv_method='eigh',
+                               conv_scaled_stat=True,
+                               conv_method=args.conv or 'eigh',
                                nms=not args.no_nms)
         if args.reg_init is not None:
             params.reg = args.reg_init
@@ -177,6 +186,8 @@ def main():
                              line_search_iters=50, sqp_iters=args.sqp_iters,
                              p_tol=args.p_tol, d_tol=args.d_tol, beta=0.01, tau=0.5,
                              merit_function=args.merit_function)
+        if args.conv:
+            params.conv_method = args.conv
         res = run_mc_study(scenario, solver_params=params, num_samples=args.n,
                            seed=args.seed, n_devices=args.devices,
                            ibr_ws=args.ibr_ws)

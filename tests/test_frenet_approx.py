@@ -41,6 +41,37 @@ def test_frenet_approx_converges():
 
 
 @pytest.mark.slow
+def test_frenet_exact_mode_converges():
+    """``approximation_eval='exact'`` (differentiate through the track geometry, no
+    frozen-P pytree) + the indefinite QP kernel: the measured-best MPCC operating
+    point (docs/approx_convergence.md part 2) converges conv_abs on the small duel."""
+    sc = build_approximate_duel(N=N)
+    params = DGSQPV2Params(N=N, dt=sc.dt, reg=1.0, reg_decay=1.0, nms=True,
+                           nms_frequency=1, nms_memory_size=10,
+                           nms_initial_step_size_factor=0.0, sqp_iters=100,
+                           p_tol=1e-3, d_tol=1e-3, approximation_eval='exact',
+                           conv_method='none')
+    solver = DGSQPV2FrenetApprox(sc.joint_model, sc.costs, sc.agent_constraints,
+                                 sc.shared_constraints, sc.bounds, params,
+                                 print_method=None)
+    assert solver._approx_update is None     # exact mode carries no parameter pytree
+    x0 = jnp.asarray([0.3, 0.2, 1.5, 0.0, 0.3,
+                      0.9, -0.2, 1.5, 0.0, 0.9])
+    up = jnp.zeros(6)
+    u0 = jnp.zeros(solver.n_dec)
+    l0 = jnp.zeros(solver.n_c)
+    res = solver._solve_jit(u0, l0, x0, up, None)
+    assert int(res.status) == 1, (int(res.status), float(res.stat), float(res.p_feas))
+    assert int(res.iters) < 60
+    x = np.asarray(solver.problem.rollout(res.u, x0))
+    for a, off in [(0, 0), (1, 5)]:
+        xy = np.stack([x[1:, off], x[1:, off + 1],
+                       np.zeros(x.shape[0] - 1)], axis=-1)
+        sey = np.asarray(sc.track.global_to_local(xy))
+        assert (np.abs(sey[:, 1]) <= sc.half_width + 5e-2).all()
+
+
+@pytest.mark.slow
 def test_mcp_frenet_approx_converges():
     """The approximate-game MCP oracle (PATHMCPFrenetApprox) solves the PA duel to its
     own sharp-residual tolerance, with the MPCC linearization recomputed at every
