@@ -39,6 +39,10 @@ def build_bench_solver(horizon: int = 25, solver_name: str = 'v1', scenario=None
         params = DGSQPV2Params(N=sc.N, dt=sc.dt,
                                sqp_iters=int(os.environ.get('DGSQP_BENCH_SQP_ITERS', 150)),
                                p_tol=1e-3, d_tol=1e-3,
+                               # 10-point grid: tau^10 ~ 1e-3 already returns the
+                               # numerically-dead tail; each trial re-rolls the exact
+                               # track geometry, so the grid is the hot LS cost
+                               line_search_iters=int(os.environ.get('DGSQP_BENCH_LS', 10)),
                                merit_function='stat_l1',
                                merit_decrease_condition=os.environ.get(
                                    'DGSQP_BENCH_MERIT_COND', 'armijo'),

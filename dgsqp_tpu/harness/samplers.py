@@ -91,7 +91,7 @@ def sample_duel_initial_conditions(scenario, num_samples: int, seed: int = 0,
 
 
 def sample_agents_initial_conditions(scenario, num_samples: int, seed: int = 0,
-                                     max_rounds: int = 80):
+                                     max_rounds: int = 400):
     """IC sampler for the M-agent scaling study (``DGSQP_monte_carlo_agents.py:262-310``):
     every agent placed independently on the first track segment, PID warm start, pairwise
     collision rejection."""

@@ -211,20 +211,32 @@ class DGSQPV2:
                        correctors=getattr(self.params, 'qp_correctors', 0))
         return sol.x, sol.lam, sol.ok
 
-    def _line_search(self, enabled, u, du, l, dl, s, mu, mem_max, x0, up, P, P_fn=None):
+    def _line_search(self, enabled, u, du, l, dl, s, mu, mem_max, x0, up, P, P_fn=None,
+                     eval0=None):
         """v2 backtracking line search (reference ``DGSQP_v2.py:729-760``).
 
         Returns (u_acc, l_acc, phi_acc_mu1) where phi is evaluated with mu=1 at the
         accepted point (fed into the merit memory).  ``P_fn`` (approximate game,
         ``approximation_eval='always'``) re-linearizes the MPCC parameters at each
         trial point (reference ``DGSQP_v2_frenet_approx.py:727-731``).
+
+        ``eval0 = (Q0, q0, G0, g0, fresh)``: the body's already-computed derivatives at
+        the CURRENT iterate plus a per-game mask of lanes whose LS point is that
+        iterate.  Fresh lanes build the Armijo reference from the reused data (saving
+        a second full Hessian evaluation per round); stale lanes (watchdog rollback /
+        qp-fail recovery, both rare) fall back to the non-monotone max-merit
+        reference, which is an upper bound of the Armijo one at the checkpoint.
         """
         p = self.params
         use_l1 = p.merit_function in ('stat_l1', 'sum_obj_l1')
         sum_obj = p.merit_function == 'sum_obj_l1'
 
         if p.merit_decrease_condition == 'armijo':
-            Q0, q0, G0, g0 = self._eval_full(u, l, x0, up, P)
+            fresh = None
+            if eval0 is not None and not sum_obj:
+                Q0, q0, G0, g0, fresh = eval0
+            else:
+                Q0, q0, G0, g0 = self._eval_full(u, l, x0, up, P)
             if sum_obj:
                 obj0, gobj0 = self._obj_and_grad(u, x0, up, P)
                 dobj0 = jnp.dot(gobj0, du)
@@ -234,8 +246,13 @@ class DGSQPV2:
             dphi0 = self._dphi(du, l, dl, jnp.maximum(0.0, g0), Q0, q0, G0, g0, mu, use_l1,
                                dobj=dobj0)
 
-            def ref(alpha):
-                return phi0 + p.merit_decrease * alpha * dphi0
+            if fresh is not None:
+                def ref(alpha):
+                    return jnp.where(fresh, phi0 + p.merit_decrease * alpha * dphi0,
+                                     (1 - p.merit_decrease * alpha) * mem_max)
+            else:
+                def ref(alpha):
+                    return phi0 + p.merit_decrease * alpha * dphi0
         else:  # 'max'
             def ref(alpha):
                 return (1 - p.merit_decrease * alpha) * mem_max
@@ -402,9 +419,11 @@ class DGSQPV2:
             reg = jnp.where(rollback, c.ck_reg, c.reg)
 
             ls_enabled = (m_step & ~accept_full) | plain_ls
+            ls_fresh = ~(rollback | qp_fail_recover)
             u_ls, l_ls, phi_ls = self._line_search(ls_enabled, ls_u, ls_du, ls_l, ls_dl,
                                                    ls_s, ls_mu, mem_max(c.memory), x0, up,
-                                                   P_i, P_fn=P_at if approx_always else None)
+                                                   P_i, P_fn=P_at if approx_always else None,
+                                                   eval0=(Q, q, G, g, ls_fresh))
 
             # ---------- select the next iterate
             u_n = jnp.where(d_step, u_d,
