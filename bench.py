@@ -154,6 +154,17 @@ def main():
     # conv_rel exits sit at the optimization noise floor (~1e-2 absolute on an
     # O(1e3)-weight game) rather than at the 1e-3 test — report the evidence
     stat_f = np.asarray(res.stat, np.float64)
+    # Reference-absolute success column, recomputed from the final (unscaled) KKT
+    # residuals: the solver's own status may use the gradient-scaled test
+    # (conv_scaled_stat); any reference comparison must report the absolute test the
+    # reference uses (DGSQP.py:373-398 / analyze_data.py:59-65) side by side.
+    p = solver.params
+    p_feas_f = np.asarray(res.p_feas, np.float64)
+    comp_f = np.asarray(res.comp, np.float64)
+    conv_ref_abs = float(((p_feas_f <= p.p_tol) & (comp_f <= p.d_tol)
+                          & (stat_f <= p.d_tol)).mean())
+    scaled_test = bool(getattr(p, 'conv_scaled_stat', False))
+    eval_mode = getattr(p, 'approximation_eval', None)
     solves_per_s = batch / dur
 
     print(f'# solve time: {dur:.2f}s for {batch} games | conv_abs {conv * 100:.1f}% '
@@ -171,13 +182,19 @@ def main():
               f'chunk-walls: {walls}', file=sys.stderr)
 
     target_per_chip = 500.0 / 16.0
-    print(json.dumps({
+    line = {
         'metric': 'chicane_2agent_solves_per_s_per_chip',
         'value': round(solves_per_s, 3),
         'unit': 'solves/s/chip',
         'vs_baseline': round(solves_per_s / target_per_chip, 3),
         'convergence_rate': round(float(conv), 4),
         'convergence_rate_incl_rel': round(float(conv_any), 4),
+        # reference-absolute success column (stat/comp <= d/p_tol unscaled) beside
+        # the solver's own status-based rate; identical unless conv_scaled_stat
+        'convergence_rate_ref_abs': round(conv_ref_abs, 4),
+        'conv_scaled_stat': scaled_test,
+        'approximation_eval': eval_mode,
+        'p_tol': p.p_tol, 'd_tol': p.d_tol,
         'status_counts': hist,
         'batch': batch,
         'horizon': horizon,
@@ -187,7 +204,13 @@ def main():
         'stat_p50': float(np.format_float_scientific(np.median(stat_f), 2)),
         'stat_p90': float(np.format_float_scientific(np.percentile(stat_f, 90), 2)),
         'first_solve_s': round(compile_and_first, 1),
-    }))
+    }
+    out_path = os.environ.get('DGSQP_BENCH_OUT')
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or '.', exist_ok=True)
+        with open(out_path, 'w') as f:
+            json.dump(line, f, indent=2)
+    print(json.dumps(line))
 
 
 if __name__ == '__main__':

@@ -244,19 +244,32 @@ def sample_f1_initial_conditions(scenario, num_samples: int, seed: int = 0,
             np.concatenate(vrs), np.concatenate(ers))
 
 
-def f1_solver_params(N: int, **overrides):
-    """DGSQP-v2 parameters of the study (``globals.py:25-50``), operated at the
-    measured-best MPCC point (every step merit-checked + small constant reg +
-    gradient-scaled KKT tolerance — docs/approx_convergence.md; the reference's
-    reg=1e2*0.95^k + blind-d-step schedule creeps for ~1000 iterations on this
-    problem class)."""
+def f1_solver_params(N: int, *, reference_faithful: bool = False, **overrides):
+    """Tuned TPU operating point for the F1 study's DGSQP-v2 (NOT the reference
+    configuration: sqp_iters 150 vs 500, constant reg=1 vs 1e2*0.95^k,
+    nms_frequency 1 vs 10, delta0 0 vs 20, gradient-scaled KKT tolerance — the
+    measured-best MPCC point, docs/approx_convergence.md; the reference's blind
+    d-step schedule creeps for ~1000 iterations on this problem class).
+
+    ``reference_faithful=True`` restores the reference study's own knobs
+    (``comparison_study_f1/globals.py:25-50``: sqp_iters=500, reg=1e2 decaying
+    0.95/m-step, nms_frequency=10, delta0=20, absolute tolerances) for
+    replication runs."""
     from dgsqp_tpu.solvers.solver_types import DGSQPV2Params
-    kw = dict(N=N, dt=DT, nms=True, nms_frequency=1, nms_memory_size=10,
-              nms_initial_step_size_factor=0.0, line_search_iters=20,
-              sqp_iters=150, p_tol=TOL, d_tol=TOL,
-              reg=1.0, reg_decay=1.0, delta_decay=0.99, merit_decrease=0.01,
-              conv_scaled_stat=True, approximation_eval='once',
-              beta=0.01, tau=0.5)
+    if reference_faithful:
+        kw = dict(N=N, dt=DT, nms=True, nms_frequency=10, nms_memory_size=10,
+                  nms_initial_step_size_factor=20.0, line_search_iters=20,
+                  sqp_iters=500, p_tol=TOL, d_tol=TOL,
+                  reg=1e2, reg_decay=0.95, delta_decay=0.99, merit_decrease=0.01,
+                  conv_scaled_stat=False, approximation_eval='once',
+                  beta=0.01, tau=0.5)
+    else:
+        kw = dict(N=N, dt=DT, nms=True, nms_frequency=1, nms_memory_size=10,
+                  nms_initial_step_size_factor=0.0, line_search_iters=20,
+                  sqp_iters=150, p_tol=TOL, d_tol=TOL,
+                  reg=1.0, reg_decay=1.0, delta_decay=0.99, merit_decrease=0.01,
+                  conv_scaled_stat=True, approximation_eval='once',
+                  beta=0.01, tau=0.5)
     kw.update(overrides)
     return DGSQPV2Params(**kw)
 

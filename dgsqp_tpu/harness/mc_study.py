@@ -45,6 +45,37 @@ class MCResults:
     x0: np.ndarray
     wall_time_s: float
     compile_time_s: float
+    # self-describing run metadata (platform, dtype, solver params + hash, git rev,
+    # seed) — an artifact must prove what produced it, not rely on directory naming
+    provenance: Optional[dict] = None
+
+
+def run_provenance(solver, seed=None, extra: Optional[dict] = None) -> dict:
+    """Metadata stamped into every ``MCResults``: platform/dtype/params/git rev."""
+    import hashlib
+    params = getattr(solver, 'params', None)
+    try:
+        pdict = {k: (v if isinstance(v, (int, float, str, bool, type(None)))
+                     else str(v)) for k, v in asdict(params).items()}
+    except Exception:
+        pdict = {}
+    phash = hashlib.sha256(json.dumps(pdict, sort_keys=True).encode()).hexdigest()[:12]
+    try:
+        import subprocess
+        rev = subprocess.run(['git', 'rev-parse', '--short', 'HEAD'],
+                             capture_output=True, text=True,
+                             cwd=Path(__file__).resolve().parent).stdout.strip() or None
+    except Exception:
+        rev = None
+    prov = dict(platform=jax.devices()[0].platform,
+                dtype=np.dtype(getattr(solver, 'dtype', np.float32)).name,
+                x64=bool(jax.config.jax_enable_x64),
+                solver_class=type(solver).__name__,
+                params=pdict, params_hash=phash, git_rev=rev, seed=seed,
+                jax_version=jax.__version__)
+    if extra:
+        prov.update(extra)
+    return prov
 
 
 def _sample(scenario, num_samples, seed):
@@ -203,7 +234,11 @@ def run_mc_study(scenario, solver_params=None, num_samples: int = 200, seed: int
                      u_sol=np.asarray(res.u)[:B],
                      x0=np.asarray(x0),
                      wall_time_s=solve_time,
-                     compile_time_s=first - solve_time)
+                     compile_time_s=first - solve_time,
+                     provenance=run_provenance(
+                         solver, seed=seed,
+                         extra=dict(ibr_ws=bool(ibr_ws),
+                                    dgsqp_ws_iters=int(dgsqp_ws_iters))))
 
 
 def run_mc_study_algames(scenario, params=None, num_samples: int = 200,
@@ -255,7 +290,8 @@ def run_mc_study_algames(scenario, params=None, num_samples: int = 200,
                      qp_solves=np.asarray(res.newton_solves),
                      p_feas=np.asarray(res.p_feas), comp=np.asarray(res.comp),
                      stat=np.asarray(res.stat), u_sol=flat_u, x0=np.asarray(x0),
-                     wall_time_s=solve_time, compile_time_s=first - solve_time)
+                     wall_time_s=solve_time, compile_time_s=first - solve_time,
+                     provenance=run_provenance(solver, seed=seed))
 
 
 def analyze_results(results: MCResults) -> dict:
@@ -275,6 +311,17 @@ def analyze_results(results: MCResults) -> dict:
                        for s in np.unique(results.statuses)},
         feas_violation_max=float(np.max(results.p_feas)) if results.num_samples else 0.0,
     )
+    prov = getattr(results, 'provenance', None)
+    if prov:
+        out['provenance'] = {k: prov[k] for k in
+                             ('platform', 'dtype', 'x64', 'solver_class',
+                              'params_hash', 'git_rev', 'seed') if k in prov}
+        # tolerance-semantics knobs surfaced at top level so a reader can tell a
+        # scaled-KKT run from a reference-absolute one without digging into params
+        p = prov.get('params', {})
+        for k in ('conv_scaled_stat', 'approximation_eval', 'p_tol', 'd_tol'):
+            if k in p:
+                out['provenance'][k] = p[k]
     return out
 
 

@@ -63,6 +63,14 @@ class _CarryV2(NamedTuple):
     ck_mu: jnp.ndarray
     ck_delta: jnp.ndarray
     ck_reg: jnp.ndarray
+    # Armijo reference scalars AT the checkpoint (merit + directional derivative of
+    # the merit along the checkpoint's own step, at the checkpoint's mu): the
+    # reference's rollback line search runs Armijo from the loaded checkpoint with
+    # the checkpoint's merit parameter (DGSQP_v2.py:537-545 + load_checkpoint);
+    # storing the two scalars at commit time reproduces that test with zero extra
+    # evaluations (the commit round evaluates at the checkpoint anyway)
+    ck_phi0: jnp.ndarray
+    ck_dphi0: jnp.ndarray
     ck_valid: jnp.ndarray
     # checkpoint created last round: its (du, dl, s, mu) payload is completed at the
     # TOP of this round from the QP step computed AT the checkpoint iterate — the
@@ -212,7 +220,7 @@ class DGSQPV2:
         return sol.x, sol.lam, sol.ok
 
     def _line_search(self, enabled, u, du, l, dl, s, mu, mem_max, x0, up, P, P_fn=None,
-                     eval0=None):
+                     eval0=None, ck_ref=None):
         """v2 backtracking line search (reference ``DGSQP_v2.py:729-760``).
 
         Returns (u_acc, l_acc, phi_acc_mu1) where phi is evaluated with mu=1 at the
@@ -223,9 +231,13 @@ class DGSQPV2:
         ``eval0 = (Q0, q0, G0, g0, fresh)``: the body's already-computed derivatives at
         the CURRENT iterate plus a per-game mask of lanes whose LS point is that
         iterate.  Fresh lanes build the Armijo reference from the reused data (saving
-        a second full Hessian evaluation per round); stale lanes (watchdog rollback /
-        qp-fail recovery, both rare) fall back to the non-monotone max-merit
-        reference, which is an upper bound of the Armijo one at the checkpoint.
+        a second full Hessian evaluation per round).  Stale lanes (watchdog rollback /
+        qp-fail recovery) use ``ck_ref = (phi0_ck, dphi0_ck)`` — the Armijo reference
+        scalars recorded AT the checkpoint commit with the checkpoint's own step and
+        mu — reproducing the reference's line search from the loaded checkpoint
+        (``DGSQP_v2.py:537-545`` + ``load_checkpoint``) exactly.  Without ``ck_ref``
+        stale lanes fall back to the non-monotone max-merit reference, which can
+        deadlock when the checkpoint's merit sits above ``(1-sigma)*max(memory)``.
         """
         p = self.params
         use_l1 = p.merit_function in ('stat_l1', 'sum_obj_l1')
@@ -246,7 +258,13 @@ class DGSQPV2:
             dphi0 = self._dphi(du, l, dl, jnp.maximum(0.0, g0), Q0, q0, G0, g0, mu, use_l1,
                                dobj=dobj0)
 
-            if fresh is not None:
+            if fresh is not None and ck_ref is not None:
+                phi0_ck, dphi0_ck = ck_ref
+
+                def ref(alpha):
+                    return jnp.where(fresh, phi0 + p.merit_decrease * alpha * dphi0,
+                                     phi0_ck + p.merit_decrease * alpha * dphi0_ck)
+            elif fresh is not None:
                 def ref(alpha):
                     return jnp.where(fresh, phi0 + p.merit_decrease * alpha * dphi0,
                                      (1 - p.merit_decrease * alpha) * mem_max)
@@ -353,32 +371,48 @@ class DGSQPV2:
             s = jnp.maximum(0.0, g)
             ds = jnp.maximum(0.0, g + G @ du) - s
             if sum_obj:
-                _, gobj_c = self._obj_and_grad(c.u, x0, up, P_i)
+                obj_c, gobj_c = self._obj_and_grad(c.u, x0, up, P_i)
                 dobj_c = jnp.dot(gobj_c, du)
             else:
-                dobj_c = None
+                obj_c, dobj_c = None, None
             mu = self._get_mu(du, c.l, dl, s, Q, q, G, g, dobj=dobj_c)
 
-            # complete a checkpoint created last round: its iterate equals the current
+            # Commit a checkpoint created last round: its iterate equals the current
             # iterate, so THIS round's (du, dl, s, mu) is the step computed AT the
-            # checkpoint — the reference's (iterate, step) pairing (see _CarryV2.ck_fresh)
+            # checkpoint — the reference's (iterate, step) pairing.  The point AND the
+            # step commit together: until this round's QP succeeds the previous
+            # consistent (point, step) record stays in force, so a QP failure straight
+            # after an m-step rolls back to a matched pair (the reference's clamp to a
+            # consistent earlier record, DGSQP_v2.py:455).
             refresh = c.ck_fresh & keep_going & qp_ok
+            ck_u_c = jnp.where(refresh, c.u, c.ck_u)
+            ck_l_c = jnp.where(refresh, c.l, c.ck_l)
             ck_du_c = jnp.where(refresh, du, c.ck_du)
             ck_dl_c = jnp.where(refresh, dl, c.ck_dl)
             ck_s_c = jnp.where(refresh, s, c.ck_s)
             ck_mu_c = jnp.where(refresh, mu, c.ck_mu)
+            ck_delta_c = jnp.where(refresh, delta, ck_delta)
+            ck_reg_c = jnp.where(refresh, c.reg, c.ck_reg)
+            # Armijo reference at the checkpoint, from THIS round's derivatives at
+            # c.u (== the checkpoint on commit rounds) and its fresh step/mu
+            phi0_here = self._phi(c.l, s, q, G, g, mu, use_l1, obj=obj_c)
+            dphi0_here = self._dphi(du, c.l, dl, s, Q, q, G, g, mu, use_l1,
+                                    dobj=dobj_c)
+            ck_phi0_c = jnp.where(refresh, phi0_here, c.ck_phi0)
+            ck_dphi0_c = jnp.where(refresh, dphi0_here, c.ck_dphi0)
+            ck_valid = c.ck_valid | refresh
 
             if p.nms:
-                qp_fail_recover = ~qp_ok & c.ck_valid
-                m_step = (~qp_ok & c.ck_valid) | (qp_ok & ((c.ck_counter >= p.nms_frequency)
-                                                           | (step_norm >= delta)))
+                qp_fail_recover = ~qp_ok & ck_valid
+                m_step = (~qp_ok & ck_valid) | (qp_ok & ((c.ck_counter >= p.nms_frequency)
+                                                         | (step_norm >= delta)))
                 d_step = qp_ok & ~m_step
             else:
                 qp_fail_recover = jnp.asarray(False)
                 m_step = jnp.asarray(False)
                 d_step = jnp.asarray(False)
             plain_ls = qp_ok & ~m_step & ~d_step if not p.nms else jnp.asarray(False)
-            hard_qp_fail = ~qp_ok & (~c.ck_valid if p.nms else jnp.asarray(True))
+            hard_qp_fail = ~qp_ok & (~ck_valid if p.nms else jnp.asarray(True))
 
             # ---------- d-step: accept the full step, shrink delta
             u_d = c.u + du
@@ -388,8 +422,8 @@ class DGSQPV2:
             # On QP failure the reference first restores the checkpoint and then runs the
             # m-step machinery from there (DGSQP_v2.py:432-464); otherwise the m-step acts
             # on the current iterate and the fresh QP step.
-            src_u = jnp.where(qp_fail_recover, c.ck_u, c.u)
-            src_l = jnp.where(qp_fail_recover, c.ck_l, c.l)
+            src_u = jnp.where(qp_fail_recover, ck_u_c, c.u)
+            src_l = jnp.where(qp_fail_recover, ck_l_c, c.l)
             src_du = jnp.where(qp_fail_recover, ck_du_c, du)
             src_dl = jnp.where(qp_fail_recover, ck_dl_c, dl)
             src_s = jnp.where(qp_fail_recover, ck_s_c, s)
@@ -408,22 +442,23 @@ class DGSQPV2:
             accept_full = m_step & (phi_full <= R)
 
             # watchdog rollback source (reference load_checkpoint, DGSQP_v2.py:709-727)
-            rollback = m_step & ~accept_full & c.ck_valid
-            ls_u = jnp.where(rollback, c.ck_u, src_u)
-            ls_l = jnp.where(rollback, c.ck_l, src_l)
+            rollback = m_step & ~accept_full & ck_valid
+            ls_u = jnp.where(rollback, ck_u_c, src_u)
+            ls_l = jnp.where(rollback, ck_l_c, src_l)
             ls_du = jnp.where(rollback, ck_du_c, src_du)
             ls_dl = jnp.where(rollback, ck_dl_c, src_dl)
             ls_s = jnp.where(rollback, ck_s_c, src_s)
             ls_mu = jnp.where(rollback, ck_mu_c, src_mu)
-            delta = jnp.where(rollback, c.ck_delta, delta)
-            reg = jnp.where(rollback, c.ck_reg, c.reg)
+            delta = jnp.where(rollback, ck_delta_c, delta)
+            reg = jnp.where(rollback, ck_reg_c, c.reg)
 
             ls_enabled = (m_step & ~accept_full) | plain_ls
             ls_fresh = ~(rollback | qp_fail_recover)
             u_ls, l_ls, phi_ls = self._line_search(ls_enabled, ls_u, ls_du, ls_l, ls_dl,
                                                    ls_s, ls_mu, mem_max(c.memory), x0, up,
                                                    P_i, P_fn=P_at if approx_always else None,
-                                                   eval0=(Q, q, G, g, ls_fresh))
+                                                   eval0=(Q, q, G, g, ls_fresh),
+                                                   ck_ref=(ck_phi0_c, ck_dphi0_c))
 
             # ---------- select the next iterate
             u_n = jnp.where(d_step, u_d,
@@ -448,19 +483,11 @@ class DGSQPV2:
             memory = jnp.where(mstep_done, memory, c.memory)
             mem_ptr = jnp.where(mstep_done, mem_ptr, c.mem_ptr)
 
-            # new checkpoint after every m-step at the ACCEPTED point; the matching
-            # step data is not known yet (it is next round's QP solve at that point),
-            # so the payload is completed at the next round's top via ck_fresh
+            # A new checkpoint is PENDING after every m-step (at the accepted point);
+            # its full (point, step) record only commits at the next round's top once
+            # the QP at that point succeeds (see the refresh block above) — until then
+            # the previous consistent record stays in force.
             set_ck = mstep_done
-            ck_u = jnp.where(set_ck, u_n, c.ck_u)
-            ck_l = jnp.where(set_ck, l_n, c.ck_l)
-            ck_du = jnp.where(set_ck, du, ck_du_c)
-            ck_dl = jnp.where(set_ck, dl, ck_dl_c)
-            ck_s = jnp.where(set_ck, s, ck_s_c)
-            ck_mu = jnp.where(set_ck, mu, ck_mu_c)
-            ck_delta2 = jnp.where(set_ck, delta, ck_delta)
-            ck_reg = jnp.where(set_ck, reg, c.ck_reg)
-            ck_valid = c.ck_valid | set_ck
             ck_fresh = jnp.where(keep_going, set_ck, c.ck_fresh)
 
             # relative-tolerance convergence, only checked on m-steps (DGSQP_v2.py:576-599)
@@ -496,7 +523,8 @@ class DGSQPV2:
 
             return _CarryV2(u_n, l_n, u_im1, l_im1, it, m_it, status,
                             rel_its, qp_solves, delta, reg, c.reg_decay, ck_counter,
-                            ck_u, ck_l, ck_du, ck_dl, ck_s, ck_mu, ck_delta2, ck_reg,
+                            ck_u_c, ck_l_c, ck_du_c, ck_dl_c, ck_s_c, ck_mu_c,
+                            ck_delta_c, ck_reg_c, ck_phi0_c, ck_dphi0_c,
                             ck_valid, ck_fresh, memory, mem_ptr,
                             jnp.where(running, p_feas, c.p_feas),
                             jnp.where(running, comp, c.comp),
@@ -538,8 +566,15 @@ class DGSQPV2:
                         ck_mu=jnp.asarray(0.0, dtype),
                         ck_delta=jnp.asarray(jnp.inf, dtype),
                         ck_reg=jnp.asarray(p.reg, dtype),
+                        ck_phi0=jnp.asarray(jnp.inf, dtype),
+                        ck_dphi0=jnp.asarray(0.0, dtype),
                         ck_valid=jnp.asarray(False),
-                        ck_fresh=jnp.asarray(False),
+                        # the initial iterate is a pending checkpoint: round 0's
+                        # successful QP commits (u0, step0) as the first consistent
+                        # record, mirroring the reference's iter_data[0] fallback
+                        # (DGSQP_v2.py:446-455: qp_fail hard-exits only when
+                        # len(iter_data) == 0, i.e. before any successful QP)
+                        ck_fresh=jnp.asarray(True),
                         memory=memory0, mem_ptr=jnp.asarray(0),
                         p_feas=jnp.asarray(jnp.inf, dtype),
                         comp=jnp.asarray(jnp.inf, dtype),

@@ -29,6 +29,13 @@ def merge(a: 'MCResults', b: 'MCResults', success: str = 'abs') -> 'MCResults':
     ok = (CONV_ABS,) if success == 'abs' else (CONV_ABS, CONV_REL)
     assert a.num_samples == b.num_samples
     assert np.allclose(a.x0, b.x0, atol=1e-6), 'oracle runs sampled different ICs'
+    pa, pb = getattr(a, 'provenance', None), getattr(b, 'provenance', None)
+    if pa and pb:
+        # oracle runs must share precision + scenario + seed, not just ICs — a
+        # mixed f32/f64 merge would silently blend different KKT accuracy regimes
+        for k in ('dtype', 'x64', 'seed'):
+            assert pa.get(k) == pb.get(k), \
+                f'oracle provenance mismatch on {k!r}: {pa.get(k)} vs {pb.get(k)}'
     use_a = np.isin(a.statuses, ok)
     take_b = ~use_a & np.isin(b.statuses, ok)
     statuses = np.where(use_a, a.statuses, np.where(take_b, b.statuses, a.statuses))

@@ -43,14 +43,16 @@ def test_frenet_approx_converges():
 @pytest.mark.slow
 def test_frenet_exact_mode_converges():
     """``approximation_eval='exact'`` (differentiate through the track geometry, no
-    frozen-P pytree) + the indefinite QP kernel: the measured-best MPCC operating
-    point (docs/approx_convergence.md part 2) converges conv_abs on the small duel."""
+    frozen-P pytree) + the Newton-Schulz PSD projection: the measured-best MPCC
+    operating point (docs/approx_convergence.md part 2) converges conv_abs on the
+    small duel.  (The indefinite ``conv_method='none'`` kernel fails its QP at the
+    second iterate of this game — see test_frenet_exact_indefinite_terminates.)"""
     sc = build_approximate_duel(N=N)
     params = DGSQPV2Params(N=N, dt=sc.dt, reg=1.0, reg_decay=1.0, nms=True,
                            nms_frequency=1, nms_memory_size=10,
                            nms_initial_step_size_factor=0.0, sqp_iters=100,
                            p_tol=1e-3, d_tol=1e-3, approximation_eval='exact',
-                           conv_method='none')
+                           conv_method='ns')
     solver = DGSQPV2FrenetApprox(sc.joint_model, sc.costs, sc.agent_constraints,
                                  sc.shared_constraints, sc.bounds, params,
                                  print_method=None)
@@ -69,6 +71,31 @@ def test_frenet_exact_mode_converges():
                        np.zeros(x.shape[0] - 1)], axis=-1)
         sey = np.asarray(sc.track.global_to_local(xy))
         assert (np.abs(sey[:, 1]) <= sc.half_width + 5e-2).all()
+
+
+@pytest.mark.slow
+def test_frenet_exact_indefinite_terminates():
+    """The indefinite (``conv_method='none'``) kernel fails its QP at this game's
+    second iterate; the reference-faithful recovery (m-step from the last
+    CONSISTENT checkpoint record, whose full step reproduces the current point)
+    must terminate benignly via the relative-tolerance exit instead of diverging
+    or thrashing on a mismatched (point, step) pair."""
+    sc = build_approximate_duel(N=N)
+    params = DGSQPV2Params(N=N, dt=sc.dt, reg=1.0, reg_decay=1.0, nms=True,
+                           nms_frequency=1, nms_memory_size=10,
+                           nms_initial_step_size_factor=0.0, sqp_iters=100,
+                           p_tol=1e-3, d_tol=1e-3, approximation_eval='exact',
+                           conv_method='none')
+    solver = DGSQPV2FrenetApprox(sc.joint_model, sc.costs, sc.agent_constraints,
+                                 sc.shared_constraints, sc.bounds, params,
+                                 print_method=None)
+    x0 = jnp.asarray([0.3, 0.2, 1.5, 0.0, 0.3,
+                      0.9, -0.2, 1.5, 0.0, 0.9])
+    res = solver._solve_jit(jnp.zeros(solver.n_dec), jnp.zeros(solver.n_c),
+                            x0, jnp.zeros(6), None)
+    assert int(res.status) in (2, 4), (int(res.status), float(res.stat))
+    assert float(res.p_feas) < 1e-3
+    assert np.isfinite(float(res.stat))
 
 
 @pytest.mark.slow
