@@ -119,6 +119,14 @@ def main():
     # explicit accelerator placement for the hot path
     u0, l0, x0, up = build_bench_batch(sc, solver, batch, seed=0, device=accel)
 
+    # perturbed warm-start restarts of the failures (comma list of sigmas, e.g.
+    # "0.25,0.5"; empty = off).  Runs INSIDE the timed measurement: the headline
+    # throughput pays for its own retries.
+    retry_sigmas = tuple(float(s) for s in
+                         os.environ.get('DGSQP_BENCH_RETRY_SIGMAS', '').split(',')
+                         if s.strip())
+    from dgsqp_tpu.harness.mc_study import solve_with_retries
+
     if exec_mode == 'full':
         def run(verbose=False):
             res = solver._solve_batch_jit(u0, l0, x0, up)
@@ -130,6 +138,10 @@ def main():
         def run(verbose=False):
             res = solver.solve_batch_chunked(u0, l0, x0, up, chunk_iters=chunk,
                                              verbose=verbose, compact=compact)
+            if retry_sigmas:
+                res = solve_with_retries(solver, (), u0, l0, x0, up,
+                                         perturb_sigmas=retry_sigmas, seed=1,
+                                         chunk_iters=chunk, res=res)
             np.asarray(res.status)
             return res
 
@@ -194,6 +206,7 @@ def main():
         'convergence_rate_ref_abs': round(conv_ref_abs, 4),
         'conv_scaled_stat': scaled_test,
         'approximation_eval': eval_mode,
+        'retry_sigmas': list(retry_sigmas),
         'p_tol': p.p_tol, 'd_tol': p.d_tol,
         'status_counts': hist,
         'batch': batch,

@@ -89,19 +89,42 @@ def _sample(scenario, num_samples, seed):
     return sample_duel_initial_conditions(scenario, num_samples, seed=seed)
 
 
-def solve_with_retries(solver, retry_solvers, u0, l0, x0, up):
-    """Batched solve with a retry cascade over alternative configurations.
+def _u_perturb_scale(problem, dtype):
+    """Per-flat-dim perturbation scale: half the input box width (1.0 where free)."""
+    parts = []
+    for a in range(problem.M):
+        s = 0.5 * (np.asarray(problem.input_ub[a], np.float64)
+                   - np.asarray(problem.input_lb[a], np.float64))
+        s = np.where(np.isfinite(s), s, 1.0)
+        parts.append(np.tile(s, problem.N))
+    return jnp.asarray(np.concatenate(parts), dtype)
+
+
+def solve_with_retries(solver, retry_solvers, u0, l0, x0, up,
+                       perturb_sigmas=(), seed: int = 0, chunk_iters=None,
+                       res=None):
+    """Batched solve with a retry cascade over alternative configurations and/or
+    perturbed warm-start restarts.
 
     Games the primary configuration fails (any status but conv_abs) are re-solved by
     each retry solver in turn — the batched analogue of the reference's practice of
     sweeping solver configurations over the same samples and reporting the best
     (``DGSQP_monte_carlo_ablation.py:166-199``); converged retries are merged into the
-    result in place.  Retries run on compacted power-of-two sub-batches, so their cost
-    scales with the failure count, not the original batch.
+    result in place.  ``perturb_sigmas`` additionally re-solves the remaining failures
+    with the SAME solver from a perturbed warm start (``u0 + sigma * box_scale *
+    N(0,1)`` + recomputed dual warm start) — the batched analogue of the reference's
+    resample-on-failure (``comparison_study_barc/monte_carlo_main.py:98-100``) and of
+    PATH's perturbed proximal restarts.  Retries run on compacted power-of-two
+    sub-batches, so their cost scales with the failure count, not the original batch.
+    ``res`` (optional): an already-computed primary result to retry from.
     """
     import jax as _jax
-    res = solver.solve_batch_chunked(u0, l0, x0, up)
-    if not retry_solvers:
+    kw = {} if chunk_iters is None else dict(chunk_iters=chunk_iters)
+    if res is None:
+        res = solver.solve_batch_chunked(u0, l0, x0, up, **kw)
+    specs = [(rslv, None) for rslv in retry_solvers or ()]
+    specs += [(solver, float(s)) for s in perturb_sigmas]
+    if not specs:
         return res
     try:
         dev = list(u0.devices())[0]
@@ -109,7 +132,9 @@ def solve_with_retries(solver, retry_solvers, u0, l0, x0, up):
         dev = None
     st = np.array(np.asarray(res.status))
     out = {f: np.array(np.asarray(getattr(res, f))) for f in res._fields}
-    for rslv in retry_solvers:
+    rng = np.random.default_rng(seed)
+    scale = None
+    for rslv, sigma in specs:
         fail = np.where(st != CONV_ABS)[0]
         if fail.size == 0:
             break
@@ -120,7 +145,24 @@ def solve_with_retries(solver, retry_solvers, u0, l0, x0, up):
             s = jnp.asarray(np.asarray(a)[pad])
             return _jax.device_put(s, dev) if dev is not None else s
 
-        r2 = rslv.solve_batch_chunked(sub(u0), sub(l0), sub(x0), sub(up))
+        u0_s, l0_s, x0_s, up_s = sub(u0), sub(l0), sub(x0), sub(up)
+        if sigma is not None:
+            if scale is None:
+                scale = _u_perturb_scale(rslv.problem, rslv.dtype)
+            noise = jnp.asarray(
+                rng.standard_normal((n_pad, int(scale.shape[0]))), rslv.dtype)
+            u0_s = u0_s + sigma * scale * noise
+            if dev is not None:
+                u0_s = _jax.device_put(u0_s, dev)
+            if not hasattr(rslv, '_retry_dws_jit'):
+                def _dws(u, x, p):
+                    Pv = rslv._approx_update(u, x) \
+                        if getattr(rslv, '_approx_update', None) is not None else None
+                    return rslv.problem.dual_warm_start(u, x, p, P=Pv)
+                rslv._retry_dws_jit = _jax.jit(_jax.vmap(_dws))
+            l0_s = rslv._retry_dws_jit(u0_s, x0_s, up_s)
+
+        r2 = rslv.solve_batch_chunked(u0_s, l0_s, x0_s, up_s, **kw)
         st2 = np.asarray(r2.status)[:fail.size]
         win = np.where(st2 == CONV_ABS)[0]
         if win.size:

@@ -485,7 +485,8 @@ def build_approximate_duel(track=None, N: int = 25, dt: float = 0.1,
                            u_a_max: float = 2.1, u_steer_max: float = 0.436,
                            u_ds_max: float = 4.0, u_a_rate: float = 10.0,
                            u_steer_rate: float = 4.5, u_ds_rate: float = 5.0,
-                           half_width: float = 1.0, name: str = 'approx_duel') -> Scenario:
+                           half_width: float = 1.0, rate_constraints: bool = True,
+                           name: str = 'approx_duel') -> Scenario:
     """Approximate (MPCC) racing duel on progress-augmented kinematic bicycles.
 
     Mirrors the comparison-study factory
@@ -562,7 +563,14 @@ def build_approximate_duel(track=None, N: int = 25, dt: float = 0.1,
                           (u[2] - um[2]) - dt * u_ds_rate,
                           -dt * u_ds_rate - (u[2] - um[2])])
 
-    agent_constraints = [[rate_constr] * N + [None], [rate_constr] * N + [None]]
+    if rate_constraints:
+        agent_constraints = [[rate_constr] * N + [None], [rate_constr] * N + [None]]
+    else:
+        # reference-faithful configuration: the study builds the rate rows but
+        # passes None (approximate_dynamic_game.py:194-201), relying on the
+        # reg~1e2 proximal schedule instead — the measured ~400-iteration frozen-P
+        # creep configuration (see the rate-row note above)
+        agent_constraints = [[None] * (N + 1), [None] * (N + 1)]
 
     def bound(sign):
         st = VehicleState(

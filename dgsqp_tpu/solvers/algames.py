@@ -487,10 +487,10 @@ class ALGAMES:
         def chunk_with_args(c, x, u_p):
             return chunk_fn(c, x, u_p)
 
-        final_carry, x0_f, _, history = run_chunked_compacted(
-            carry, x0, u_prev, chunk_with_args, running_status=RUNNING,
-            max_chunks=max_chunks, verbose=verbose)
-        res = final_fn(final_carry, x0_f)
+        res, history = run_chunked_compacted(
+            carry, x0, u_prev, chunk_with_args,
+            final_fn=lambda c, x, u_p: final_fn(c, x),
+            running_status=RUNNING, max_chunks=max_chunks, verbose=verbose)
         self.last_chunk_history = history
         return res
 

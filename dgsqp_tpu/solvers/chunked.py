@@ -47,6 +47,7 @@ def _batch_sharding(*arrays) -> Optional[NamedSharding]:
 
 
 def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
+                          final_fn: Callable,
                           running_status: int, status_field: str = 'status',
                           max_chunks: int, min_bucket: int = 16,
                           can_compact: Optional[bool] = None,
@@ -54,9 +55,9 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
     """Drive ``chunk_fn(carry, x0, up) -> carry`` to completion with compaction.
 
     ``carry`` is a batched NamedTuple pytree whose ``status_field`` leaf holds per-game
-    int status codes (``running_status`` = still-solving).  Returns ``(final_carry,
-    x0_full, up_full, history)`` where ``final_carry`` is re-assembled in the ORIGINAL
-    batch order on the input device.
+    int status codes (``running_status`` = still-solving).  ``final_fn(carry, x0, up)``
+    extracts the (much smaller) per-game result pytree from a carry.  Returns
+    ``(result, history)`` where ``result`` is in the ORIGINAL batch order.
     """
     first_leaf = jax.tree_util.tree_leaves(carry)[0]
     batch_sh = _batch_sharding(x0, first_leaf)
@@ -82,9 +83,20 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
                 print_method(f'chunk {i}: {n_run} games still running (fixed layout)')
             if n_run == 0:
                 break
-        return carry, x0, up, history
+        return final_fn(carry, x0, up), history
 
     B0 = int(getattr(carry, status_field).shape[0])
+    if batch_sh is None:
+        # Single-device batches: fully device-resident compaction with a RESULTS
+        # store.  Harvesting full carries through a dynamic-index scatter serializes
+        # one row-DMA per batch row per pytree leaf on TPU (~1.5 s per event at
+        # bucket 128-256, measured 2026-08-20); instead each compaction event
+        # finalizes the current bucket (small result pytree) and merges finished
+        # games into a dense result store with gather + where only.
+        return _run_chunked_device_compacted(
+            carry, x0, up, chunk_fn, final_fn, running_status=running_status,
+            status_field=status_field, max_chunks=max_chunks,
+            min_bucket=min_bucket, verbose=verbose, print_method=print_method)
     n_dev = 1
     if batch_sh is not None:
         # mesh-sharded batch: index vectors ride REPLICATED over the same mesh (a
@@ -188,4 +200,99 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
         # max_chunks exhausted with games still running
         store = harvest(carry) if compacted else carry
 
-    return store, x0_all, up_all, history
+    return final_fn(store, x0_all, up_all), history
+
+
+def _run_chunked_device_compacted(carry, x0, up, chunk_fn, final_fn, *,
+                                  running_status: int, status_field: str,
+                                  max_chunks: int, min_bucket: int,
+                                  verbose: bool, print_method=print):
+    """Single-device chunk driver: device-resident compaction via a RESULTS store.
+
+    The live-slot bookkeeping (original index per slot, valid mask) lives on the
+    device alongside the carry.  A compaction event is ONE jitted dispatch that
+    (a) finalizes the current bucket with ``final_fn`` (the result pytree is tiny
+    compared to the carry — no Q/G Hessian leaves), (b) merges finished games into
+    a dense full-batch result store using gather + where (dynamic-index SCATTER of
+    large leaves serializes row-DMAs on TPU: ~1.5 s per event at bucket 128-256,
+    vs ~0.1 s for this merge), and (c) gathers the stragglers into a smaller
+    power-of-two bucket with re-gathered (x0, up) args.  The host only pulls the
+    per-game status bytes between chunks and the tiny idx/valid vectors after a
+    compaction; there are no host->device uploads at all.
+    """
+    import time as _time
+
+    B0 = int(getattr(carry, status_field).shape[0])
+    x0_all, up_all = jnp.asarray(x0), jnp.asarray(up)
+    x0_c, up_c = x0_all, up_all
+    idx_d = jnp.arange(B0, dtype=jnp.int32)
+    valid_d = jnp.ones(B0, bool)
+    valid_h = np.ones(B0, bool)
+    history = []
+    compacted = False
+    # dense result store, filled by merges (every valid game is merged exactly once
+    # as finished, or by the final take-all merge)
+    res_shapes = jax.eval_shape(final_fn, carry, x0_all, up_all)
+    res_store = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), res_shapes)
+
+    def merge_dev(res_store, carry, idx, valid, x0_c, up_c, x0_all, up_all,
+                  k: int, take_all: bool):
+        status = getattr(carry, status_field)
+        running = (status == running_status) & valid
+        res_b = final_fn(carry, x0_c, up_c)
+        harvestable = valid & (jnp.ones_like(running) if take_all else ~running)
+        midx = jnp.where(valid, idx, B0)
+        take = jnp.zeros(B0 + 1, bool).at[midx].set(harvestable, mode='drop')[:B0]
+        inv = jnp.zeros(B0 + 1, jnp.int32).at[midx].set(
+            jnp.arange(idx.shape[0], dtype=jnp.int32), mode='drop')[:B0]
+        res_store = jax.tree_util.tree_map(
+            lambda s, r: jnp.where(take.reshape((B0,) + (1,) * (r.ndim - 1)),
+                                   r[inv], s),
+            res_store, res_b)
+        # stable sort on ~running: running slots first, original slot order kept
+        order = jnp.argsort(~running, stable=True)
+        sel = order[:k]
+        new_carry = jax.tree_util.tree_map(lambda a: a[sel], carry)
+        new_idx = idx[sel]
+        new_valid = running[sel]
+        safe = jnp.where(new_valid, new_idx, 0)
+        return res_store, new_carry, new_idx, new_valid, x0_all[safe], up_all[safe]
+
+    merge_jit = jax.jit(merge_dev, static_argnums=(8, 9))
+    # NOTE on a rejected design: fusing the merge into the next chunk's program
+    # (one dispatch per chunk) was measured WORSE through the axon tunnel — the
+    # enlarged executables overflow the server-side executable cache and get
+    # reloaded on every call (12-47 s per fused call, 2026-08-20).  The separate
+    # merge dispatch costs a steady ~0.6 s/event instead.
+
+    for i in range(max_chunks):
+        _t0 = _time.time()
+        carry = chunk_fn(carry, x0_c, up_c)
+        status_h = np.asarray(getattr(carry, status_field))   # tiny transfer
+        running = (status_h == running_status) & valid_h
+        n_run = int(running.sum())
+        history.append(dict(chunk=i, running=n_run, batch=int(valid_h.size),
+                            wall_s=round(_time.time() - _t0, 3)))
+        if verbose:
+            print_method(f'chunk {i}: {n_run} games still running '
+                         f'(batch {valid_h.size})')
+        if n_run == 0:
+            break
+        bucket = max(min_bucket, 1 << (n_run - 1).bit_length())
+        if bucket <= valid_h.size // 2:
+            compacted = True
+            _tc = _time.time()
+            res_store, carry, idx_d, valid_d, x0_c, up_c = merge_jit(
+                res_store, carry, idx_d, valid_d, x0_c, up_c, x0_all, up_all,
+                bucket, False)
+            valid_h = np.asarray(valid_d)
+            history[-1]['compact_s'] = round(_time.time() - _tc, 3)
+
+    if not compacted:
+        # carry is still the full batch in original order: finalize directly
+        return final_fn(carry, x0_all, up_all), history
+    # merge the last bucket (including any still-running games at chunk exhaustion)
+    res_store, *_ = merge_jit(res_store, carry, idx_d, valid_d, x0_c, up_c,
+                              x0_all, up_all, 1, True)
+    return res_store, history

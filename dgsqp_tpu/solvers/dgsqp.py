@@ -880,11 +880,11 @@ class DGSQP:
 
         max_chunks = max_chunks or (10 * self.params.sqp_iters // flat_rounds + 6)
         carry = init_fn(u0, l0)
-        final_carry, x0_f, up_f, history = run_chunked_compacted(
-            carry, x0, up, chunk_fn, running_status=RUNNING, max_chunks=max_chunks,
+        res, history = run_chunked_compacted(
+            carry, x0, up, chunk_fn, final_fn=final_fn,
+            running_status=RUNNING, max_chunks=max_chunks,
             min_bucket=getattr(self, '_compact_min_bucket', 16), verbose=verbose,
             can_compact=compact)
-        res = final_fn(final_carry, x0_f, up_f)
         self.last_chunk_history = history
         return res
 

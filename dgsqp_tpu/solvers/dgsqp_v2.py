@@ -627,12 +627,11 @@ class DGSQPV2:
         carry = self._init_jit(u0, l0, x0, up)
         # v2 budgets count m-steps; allow ~6x in raw iterations before giving up
         max_chunks = max_chunks or (6 * self.params.sqp_iters // chunk_iters + 4)
-        final_carry, x0_f, up_f, history = run_chunked_compacted(
-            carry, x0, up, self._chunk_jit, running_status=RUNNING,
-            max_chunks=max_chunks,
+        res, history = run_chunked_compacted(
+            carry, x0, up, self._chunk_jit, final_fn=self._final_jit,
+            running_status=RUNNING, max_chunks=max_chunks,
             min_bucket=getattr(self, '_compact_min_bucket', 16), verbose=verbose,
             can_compact=compact)
-        res = self._final_jit(final_carry, x0_f, up_f)
         self.last_chunk_history = history
         return res
 

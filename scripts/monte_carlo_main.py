@@ -69,6 +69,14 @@ def main():
     ap.add_argument('--ibr_ws', action='store_true',
                     help='refine the PID warm start with one batched IBR sweep '
                          '(reference DGSQP_comp_monte_carlo.py ibr_ws=True)')
+    ap.add_argument('--reference_faithful', action='store_true',
+                    help="approximate game only: run the reference study's own "
+                         "configuration (input-rate rows built but passed None, "
+                         "frozen-P 'once' cadence, reg=1e2*0.95^k, nms freq=10, "
+                         "delta0=20, sqp_iters=500, ABSOLUTE tolerances — "
+                         "comparison_study_barc/globals.py:31-40 + "
+                         "approximate_dynamic_game.py:194-201) instead of the "
+                         "tuned TPU operating point")
     ap.add_argument('--out', default='results')
     ap.add_argument('--devices', type=int, default=None)
     ap.add_argument('--skip_existing', action='store_true',
@@ -114,7 +122,8 @@ def main():
         from dgsqp_tpu.harness.scenarios import build_exact_duel
         scenario = build_exact_duel(N=args.N)
     elif args.formulation == 'approximate':
-        scenario = build_approximate_duel(N=args.N)
+        scenario = build_approximate_duel(
+            N=args.N, rate_constraints=not args.reference_faithful)
     elif args.scenario == 'chicane':
         scenario = build_chicane_scenario(N=args.N, theta_deg=args.theta)
     elif args.scenario == 'curve':
@@ -124,7 +133,7 @@ def main():
     else:
         scenario = build_agents_scenario(M=args.agents, N=args.N)
 
-    reg_tag = ''
+    reg_tag = '_ref' if args.reference_faithful else ''
     if args.reg_init is not None or args.reg_decay is not None:
         reg_tag = f'_reg{args.reg_init if args.reg_init is not None else "d"}' \
                   f'_decay{args.reg_decay if args.reg_decay is not None else "d"}' \
@@ -152,19 +161,36 @@ def main():
         res = run_mc_study(scenario, num_samples=args.n, seed=args.seed, solver=mcp,
                            ibr_ws=args.ibr_ws, dgsqp_ws_iters=args.dgsqp_ws)
     elif args.formulation == 'approximate':
-        # measured-best MPCC operating point (docs/approx_convergence.md): every step
-        # merit-checked (freq=1, delta0=0), exact track-geometry evaluation, the
-        # indefinite QP kernel, constant reg=1, gradient-scaled KKT tolerance
-        params = DGSQPV2Params(N=scenario.N, dt=scenario.dt,
-                               sqp_iters=max(args.sqp_iters, 150), p_tol=args.p_tol,
-                               d_tol=args.d_tol, merit_function=args.merit_function,
-                               merit_decrease_condition=args.merit_decrease_condition,
-                               approximation_eval=args.eval_type,
-                               reg=1.0, reg_decay=1.0, nms_frequency=1,
-                               nms_memory_size=10, nms_initial_step_size_factor=0.0,
-                               conv_scaled_stat=True,
-                               conv_method=args.conv or 'eigh',
-                               nms=not args.no_nms)
+        if args.reference_faithful:
+            # the reference study's own knobs (globals.py:31-40): frozen-P cadence,
+            # heavy decaying proximal regularization, blind d-steps, absolute tols
+            params = DGSQPV2Params(N=scenario.N, dt=scenario.dt,
+                                   sqp_iters=max(args.sqp_iters, 500),
+                                   p_tol=args.p_tol, d_tol=args.d_tol,
+                                   merit_function=args.merit_function,
+                                   merit_decrease_condition=args.merit_decrease_condition,
+                                   approximation_eval=('once' if args.eval_type == 'exact'
+                                                       else args.eval_type),
+                                   reg=1e2, reg_decay=0.95, nms_frequency=10,
+                                   nms_memory_size=10,
+                                   nms_initial_step_size_factor=20.0,
+                                   conv_scaled_stat=False,
+                                   conv_method=args.conv or 'eigh',
+                                   nms=not args.no_nms)
+        else:
+            # measured-best MPCC operating point (docs/approx_convergence.md): every
+            # step merit-checked (freq=1, delta0=0), exact track-geometry evaluation,
+            # constant reg=1, gradient-scaled KKT tolerance
+            params = DGSQPV2Params(N=scenario.N, dt=scenario.dt,
+                                   sqp_iters=max(args.sqp_iters, 150), p_tol=args.p_tol,
+                                   d_tol=args.d_tol, merit_function=args.merit_function,
+                                   merit_decrease_condition=args.merit_decrease_condition,
+                                   approximation_eval=args.eval_type,
+                                   reg=1.0, reg_decay=1.0, nms_frequency=1,
+                                   nms_memory_size=10, nms_initial_step_size_factor=0.0,
+                                   conv_scaled_stat=True,
+                                   conv_method=args.conv or 'eigh',
+                                   nms=not args.no_nms)
         if args.reg_init is not None:
             params.reg = args.reg_init
         if args.reg_decay is not None:

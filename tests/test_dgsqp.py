@@ -465,8 +465,9 @@ def test_chunked_driver_compacts_spmd_batches():
     x0_d = jax.device_put(jnp.asarray(x0), sharding)
     up_d = jax.device_put(jnp.asarray(up), sharding)
 
-    final, x0_f, up_f, history = run_chunked_compacted(
-        carry, x0_d, up_d, chunk_fn, running_status=0, max_chunks=50, min_bucket=2)
+    final, history = run_chunked_compacted(
+        carry, x0_d, up_d, chunk_fn, final_fn=lambda c, x, u_p: c,
+        running_status=0, max_chunks=50, min_bucket=2)
 
     # every game ran exactly ticks0 chunks: payload = ticks0 * x0[:, 0]
     np.testing.assert_allclose(np.asarray(final.payload[:, 0]),
@@ -476,7 +477,41 @@ def test_chunked_driver_compacts_spmd_batches():
     assert batches[0] == B
     assert min(batches) < B                     # it really compacted
     assert all(b % n_dev == 0 for b in batches)  # mesh-divisible buckets
-    np.testing.assert_allclose(np.asarray(x0_f), x0)  # originals returned intact
+
+
+def test_chunked_driver_device_results_merge():
+    """The single-device driver merges finalized results (gather + where, no large
+    scatters) back into original batch order across staggered compactions."""
+    from collections import namedtuple
+    from dgsqp_tpu.solvers.chunked import run_chunked_compacted
+
+    C = namedtuple('C', ['status', 'ticks', 'payload'])
+    B = 32
+    ticks0 = np.array([1 + 3 * (i % 3) + (7 if i % 11 == 0 else 0) for i in range(B)])
+    x0 = np.arange(B, dtype=np.float64)[:, None] * np.ones((1, 3))
+    up = np.zeros((B, 2))
+
+    def chunk_fn(c, x, u_p):
+        running = c.status == 0
+        ticks = jnp.where(running, c.ticks - 1, c.ticks)
+        payload = jnp.where(running[:, None], c.payload + x[:, :1], c.payload)
+        status = jnp.where(ticks <= 0, 1, 0).astype(jnp.int32)
+        return C(status, ticks, payload)
+
+    def final_fn(c, x, u_p):
+        # results are a REDUCED view of the carry (as the solver finalizers are)
+        return dict(status=c.status, out=c.payload[:, 0] + u_p[:, 0])
+
+    carry = C(status=jnp.zeros(B, jnp.int32), ticks=jnp.asarray(ticks0),
+              payload=jnp.zeros((B, 1)))
+    res, history = run_chunked_compacted(
+        carry, jnp.asarray(x0), jnp.asarray(up), chunk_fn, final_fn=final_fn,
+        running_status=0, max_chunks=50, min_bucket=2)
+
+    np.testing.assert_allclose(np.asarray(res['out']), ticks0 * x0[:, 0], atol=0)
+    assert (np.asarray(res['status']) == 1).all()
+    batches = [h['batch'] for h in history]
+    assert batches[0] == B and min(batches) < B
 
 
 def test_retry_cascade_rescues_failures():
@@ -568,3 +603,54 @@ def test_traced_solve_records_conditioning():
     assert np.isfinite(np.asarray(trace['cond_Q'])).all()
     assert (np.asarray(trace['cond_Q']) >= 1.0 - 1e-9).all()
     assert (np.asarray(trace['stat'])[:, -1] <= np.asarray(trace['stat'])[:, 0]).all()
+
+
+def test_perturbed_retry_recovers_failures():
+    """solve_with_retries(perturb_sigmas=...): games the primary budget fails are
+    re-solved from a perturbed warm start (+ recomputed duals) on a compacted
+    sub-batch; wins merge in place, already-converged games stay byte-identical
+    (reference analogue: resample-on-failure, monte_carlo_main.py:98-100)."""
+    from dgsqp_tpu.harness.mc_study import solve_with_retries
+
+    m1 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    m2 = IntegratorModel(0.0, DynamicsConfig(dt=DT))
+    joint = MultiAgentDynamicsModel(0.0, [m1, m2])
+
+    def stage(x, u, um):
+        return 0.5 * u[0] ** 2
+
+    def term_0(x):
+        return 0.5 * 100.0 * (x[0] - 1.0) ** 2 + 0.5 * jnp.tanh(x[0] - x[1])
+
+    def term_1(x):
+        return 0.5 * 100.0 * (x[1] - 1.0) ** 2 + 0.5 * jnp.tanh(x[1] - x[0])
+
+    ub = VehicleState(); ub.v.v_long = np.inf; ub.u.u_a = 5.0
+    lb = VehicleState(); lb.v.v_long = -np.inf; lb.u.u_a = -5.0
+    # starve the iteration budget so some games exit max_it on the first pass
+    params = DGSQPParams(N=N, dt=DT, reg=1e-3, p_tol=1e-8, d_tol=1e-8,
+                         sqp_iters=3, nonmono_ls=True, beta=0.01, tau=0.5)
+    solver = DGSQP(joint, [(stage, term_0), (stage, term_1)], [None, None], None,
+                   {'ub': [ub, ub], 'lb': [lb, lb]}, params, print_method=None)
+    solver._compact_min_bucket = 2
+
+    rng = np.random.default_rng(3)
+    B = 8
+    x0s = jnp.asarray(rng.uniform(-3.0, 3.0, (B, 2)))
+    u0 = jnp.zeros((B, 2 * N))
+    l0 = jnp.zeros((B, solver.n_c))
+    ups = jnp.zeros((B, 2))
+    res0 = solver.solve_batch_chunked(u0, l0, x0s, ups, chunk_iters=1)
+    st0 = np.asarray(res0.status)
+    assert (st0 != 1).any(), 'primary pass must leave failures for this test'
+
+    res = solve_with_retries(solver, (), u0, l0, x0s, ups,
+                             perturb_sigmas=(0.3, 0.6), seed=5,
+                             chunk_iters=1, res=res0)
+    st = np.asarray(res.status)
+    # monotone merge: no previously-converged game lost, its payload untouched
+    conv0 = st0 == 1
+    assert (st[conv0] == 1).all()
+    np.testing.assert_array_equal(np.asarray(res.u)[conv0],
+                                  np.asarray(res0.u)[conv0])
+    assert (st == 1).sum() >= (st0 == 1).sum()
