@@ -288,7 +288,7 @@ def build_curve_scenario(N: int = 25, theta_deg: float = 90.0, dt: float = 0.1,
 
 def build_agents_scenario(M: int = 3, N: int = 25, theta_deg: float = 90.0,
                           dt: float = 0.1, half_width: float = 1.0,
-                          comp_weights=(10.0, 5.0), obs_r: float = 0.3,
+                          comp_weights=(10.0, 5.0), obs_r: float = 0.4,
                           u_a_max: float = 2.1, u_steer_max: float = 0.436,
                           u_a_rate: float = 10.0, u_steer_rate: float = np.pi) -> Scenario:
     """BASELINE config 4: agent-count scaling study, M kinematic-bicycle-combined agents on

@@ -70,10 +70,10 @@ def run_chunked_compacted(carry, x0, up, chunk_fn: Callable, *,
     # Fixed-layout fallback — no harvest/compaction, the carry keeps its sharding:
     #   * multi-host (jax.distributed) arrays: not fully addressable from one process;
     #   * multi-device batches with a non-NamedSharding (no mesh to re-shard against);
-    #   * callers that force can_compact=False on a sharded batch.
+    #   * callers that force can_compact=False (remote-tunnel configurations where
+    #     each compaction event costs more than the masked compute it saves).
     if (not getattr(first_leaf, 'is_fully_addressable', True)
-            or (not can_compact
-                and any(_multi_device(a) for a in (first_leaf, x0, up)))):
+            or not can_compact):
         history = []
         for i in range(max_chunks):
             carry = chunk_fn(carry, x0, up)
