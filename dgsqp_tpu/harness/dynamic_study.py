@@ -148,3 +148,51 @@ def sample_dynamic_duel_initial_conditions(scenario, num_samples: int, seed: int
                            f'({need} missing after {max_rounds} rounds)')
     return (np.concatenate(xs), np.concatenate(us),
             np.concatenate(vrs), np.concatenate(ers))
+
+
+def combined_to_pa_dynamic(x0_combined, q_ws, u_ws, track, dt):
+    """Map an exact-dynamic (combined) sample + warm start to the PA layout.
+
+    Per-car combined layout [x, y, vx, vy, psidot, epsi, s, xtran] becomes the PA
+    layout [vx, vy, psidot, x, y, psi, s] with global heading
+    ``psi = epsi + track tangent angle at s``; the warm-start inputs get the virtual
+    arc-speed channel appended as ``u_ds_k = (s_{k+1} - s_k)/dt`` from the rollout's
+    progress trace (reference ``warm_start_dynamic.py`` arc-speed construction).
+    Batched: x0_combined (B, 16), q_ws (B, N+1, 16), u_ws (B, N, 4) ->
+    (x0_pa (B, 14), u_pa (B, N, 6)).
+    """
+    B = x0_combined.shape[0]
+    x0_pa = np.zeros((B, 14))
+    u_pa_parts = []
+    for a, off in enumerate((0, 8)):
+        c = x0_combined[:, off:off + 8]
+        psi = c[:, 5] + np.asarray(track.tangent_angle(jnp.asarray(c[:, 6])))
+        x0_pa[:, 7 * a:7 * (a + 1)] = np.stack(
+            [c[:, 2], c[:, 3], c[:, 4], c[:, 0], c[:, 1], psi, c[:, 6]], axis=-1)
+        s_traj = q_ws[:, :, off + 6]
+        ds = (s_traj[:, 1:] - s_traj[:, :-1]) / dt
+        u_pa_parts.append(np.concatenate(
+            [u_ws[:, :, 2 * a:2 * (a + 1)], ds[:, :, None]], axis=-1))
+    return x0_pa, np.concatenate(u_pa_parts, axis=-1)
+
+
+def sample_dynamic_pa_initial_conditions(pa_scenario, num_samples: int, seed: int = 0):
+    """IC sampler for the approximate (PA) dynamic duel.
+
+    Samples with the EXACT dynamic duel's raceline-relative sampler (the reference
+    warm-starts the approximate game through the exact model and appends the
+    arc-speed channel, ``warm_start_dynamic.py``), then converts states and inputs
+    to the PA layout.
+    """
+    from dgsqp_tpu.harness.scenarios import build_dynamic_duel
+    exact = build_dynamic_duel(N=pa_scenario.N, dt=pa_scenario.dt,
+                               car_r=pa_scenario.obs_d / 2)
+    x0c, u_ws, v_ref, ey_ref = sample_dynamic_duel_initial_conditions(
+        exact, num_samples, seed=seed)
+    ws_batch = jax.jit(jax.vmap(
+        lambda q0, vr, er: dynamic_warm_start(exact, q0, vr, er)))
+    u_ws2, q_ws, _ = ws_batch(jnp.asarray(x0c), jnp.asarray(v_ref),
+                              jnp.asarray(ey_ref))
+    x0_pa, u_pa = combined_to_pa_dynamic(x0c, np.asarray(q_ws), np.asarray(u_ws2),
+                                         pa_scenario.track, pa_scenario.dt)
+    return x0_pa, u_pa, v_ref, ey_ref

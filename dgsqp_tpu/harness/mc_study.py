@@ -83,6 +83,9 @@ def _sample(scenario, num_samples, seed):
         return sample_merge_initial_conditions(scenario, num_samples, seed=seed)
     if scenario.name.startswith('agents'):
         return sample_agents_initial_conditions(scenario, num_samples, seed=seed)
+    if scenario.name.startswith('dynamic_approx'):
+        from dgsqp_tpu.harness.dynamic_study import sample_dynamic_pa_initial_conditions
+        return sample_dynamic_pa_initial_conditions(scenario, num_samples, seed=seed)
     if scenario.name.startswith('dynamic'):
         from dgsqp_tpu.harness.dynamic_study import sample_dynamic_duel_initial_conditions
         return sample_dynamic_duel_initial_conditions(scenario, num_samples, seed=seed)

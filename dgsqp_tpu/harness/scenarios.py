@@ -276,6 +276,123 @@ def build_dynamic_duel(N: int = 25, dt: float = 0.1, cost_setting: int = 0,
                     input_rate_lb=np.array([-10.0, -4.5]))
 
 
+def build_dynamic_approximate_duel(N: int = 25, dt: float = 0.1, cost_setting: int = 0,
+                                   track_name: str = 'L_track_barc',
+                                   car_r: float = 0.23,
+                                   rate_constraints: bool = True) -> Scenario:
+    """APPROXIMATE (MPCC) counterpart of :func:`build_dynamic_duel`: two
+    progress-augmented DYNAMIC bicycles (Pacejka) on L_track_barc.
+
+    Mirrors ``comparison_study_barc/approximate_dynamic_game_dynamic.py:13-230``:
+    quadratic input + input-rate stage costs including the virtual arc-speed channel
+    (weight 1e-4), linear terminal progress/competition cost on the progress states,
+    shared collision avoidance on the global positions; contouring/lag costs and
+    track-boundary constraints are added inside ``DGSQPV2FrenetApprox``.  As in
+    :func:`build_approximate_duel`, the reference builds input-rate rows but passes
+    None (``:194-201``); ``rate_constraints=True`` (our default) activates them as a
+    per-stage trust region, ``False`` is the reference-faithful configuration.
+    """
+    from dgsqp_tpu.dynamics.progress_augmented import DynamicBicycleProgressAugmented
+    from dgsqp_tpu.tracks.track_lib import get_track
+    track = get_track(track_name)
+    H = float(track.half_width)
+
+    if cost_setting == 0:
+        input_weight = (1.0, 1.0, 1e-4)
+        input_rate_weight = (1.0, 1.0, 1e-4)
+        comp_weights = (1.0, 5.0)
+    elif cost_setting == 1:
+        input_weight = (1e-1, 1e-1, 1e-4)
+        input_rate_weight = (1e-1, 1e-1, 1e-4)
+        comp_weights = (0.0, 1.0)
+    else:
+        raise ValueError(f'unknown cost_setting {cost_setting}')
+
+    cfg = DynamicBicycleConfig(dt=dt, model_name='dynamic_bicycle', noise=False,
+                               discretization_method='rk4', M=10, simple_slip=False,
+                               tire_model='pacejka', mass=2.2187, yaw_inertia=0.02723,
+                               wheel_friction=0.9, pacejka_b_front=5.0,
+                               pacejka_b_rear=5.0, pacejka_c_front=2.28,
+                               pacejka_c_rear=2.28)
+    car1 = DynamicBicycleProgressAugmented(0.0, cfg, track=track)
+    car2 = DynamicBicycleProgressAugmented(
+        0.0, DynamicBicycleConfig(**{**cfg.__dict__}), track=track)
+    joint = MultiAgentDynamicsModel(0.0, [car1, car2], MultiAgentModelConfig(dt=dt))
+
+    # per-car PA layout [vx, vy, psidot, x, y, psi, s] (reference car{1,2}_{x,y,s}_idx
+    # = 3,4,6 / 10,11,13)
+    C1_X, C1_Y, C1_S = 3, 4, 6
+    C2_X, C2_Y, C2_S = 10, 11, 13
+    obs_d = 2 * car_r
+
+    def make_cost(own_s, other_s):
+        w, wr = input_weight, input_rate_weight
+
+        def stage(x, u, um):
+            return 0.5 * (w[0] * u[0] ** 2 + w[1] * u[1] ** 2 + w[2] * u[2] ** 2) \
+                + 0.5 * (wr[0] * (u[0] - um[0]) ** 2 + wr[1] * (u[1] - um[1]) ** 2
+                         + wr[2] * (u[2] - um[2]) ** 2)
+
+        def term(x):
+            return -comp_weights[0] * x[own_s] \
+                + comp_weights[1] * (x[other_s] - x[own_s])
+        return (stage, term)
+
+    costs = [make_cost(C1_S, C2_S), make_cost(C2_S, C1_S)]
+
+    def obs_avoid(x, u, um):
+        dx = x[C1_X] - x[C2_X]
+        dy = x[C1_Y] - x[C2_Y]
+        return jnp.array([obs_d ** 2 - (dx * dx + dy * dy)])
+
+    def obs_avoid_term(x):
+        dx = x[C1_X] - x[C2_X]
+        dy = x[C1_Y] - x[C2_Y]
+        return jnp.array([obs_d ** 2 - (dx * dx + dy * dy)])
+
+    shared_constraints = [None] + [obs_avoid] * (N - 1) + [obs_avoid_term]
+
+    u_a_rate, u_steer_rate, u_ds_rate = 10.0, 4.5, 5.0
+
+    def rate_constr(x, u, um):
+        return jnp.array([(u[0] - um[0]) - dt * u_a_rate,
+                          -dt * u_a_rate - (u[0] - um[0]),
+                          (u[1] - um[1]) - dt * u_steer_rate,
+                          -dt * u_steer_rate - (u[1] - um[1]),
+                          (u[2] - um[2]) - dt * u_ds_rate,
+                          -dt * u_ds_rate - (u[2] - um[2])])
+
+    if rate_constraints:
+        agent_constraints = [[rate_constr] * N + [None], [rate_constr] * N + [None]]
+    else:
+        agent_constraints = [[None] * (N + 1), [None] * (N + 1)]
+
+    u_a_max, u_steer_max, u_ds_max = 2.1, 0.436, 4.0
+
+    def bound(sign):
+        return VehicleState(
+            x=Position(x=sign * np.inf, y=sign * np.inf),
+            p=ParametricPose(s=sign * np.inf, x_tran=sign * np.inf,
+                             e_psi=sign * np.inf),
+            e=OrientationEuler(psi=sign * np.inf),
+            v=BodyLinearVelocity(v_long=sign * np.inf, v_tran=sign * np.inf),
+            w=BodyAngularVelocity(w_psi=sign * np.inf),
+            u=VehicleActuation(u_a=sign * u_a_max, u_steer=sign * u_steer_max,
+                               u_ds=u_ds_max if sign > 0 else 0.0))
+
+    bounds = {'ub': [bound(1), bound(1)], 'lb': [bound(-1), bound(-1)]}
+
+    return Scenario(name=f'dynamic_approx_duel_N{N}_c{cost_setting}', track=track,
+                    joint_model=joint, costs=costs,
+                    agent_constraints=agent_constraints,
+                    shared_constraints=shared_constraints, bounds=bounds, N=N, dt=dt,
+                    obs_d=obs_d, half_width=H,
+                    input_ub=np.array([u_a_max, u_steer_max, u_ds_max]),
+                    input_lb=np.array([-u_a_max, -u_steer_max, 0.0]),
+                    input_rate_ub=np.array([u_a_rate, u_steer_rate, u_ds_rate]),
+                    input_rate_lb=np.array([-u_a_rate, -u_steer_rate, -u_ds_rate]))
+
+
 def build_curve_scenario(N: int = 25, theta_deg: float = 90.0, dt: float = 0.1,
                          half_width: float = 1.0, **kw) -> Scenario:
     """BASELINE config 2: curved-track duel (``DGSQP_ALGAMES_monte_carlo_curve.py``)."""

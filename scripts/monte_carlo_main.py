@@ -115,7 +115,12 @@ def main():
     from dgsqp_tpu.solvers.dgsqp_v2_frenet import DGSQPV2FrenetApprox
     from dgsqp_tpu.solvers.solver_types import DGSQPParams, DGSQPV2Params
 
-    if args.scenario == 'dynamic':
+    if args.scenario == 'dynamic' and args.formulation == 'approximate':
+        from dgsqp_tpu.harness.scenarios import build_dynamic_approximate_duel
+        scenario = build_dynamic_approximate_duel(
+            N=args.N, cost_setting=args.cost_setting,
+            rate_constraints=not args.reference_faithful)
+    elif args.scenario == 'dynamic':
         from dgsqp_tpu.harness.scenarios import build_dynamic_duel
         scenario = build_dynamic_duel(N=args.N, cost_setting=args.cost_setting)
     elif args.scenario == 'duel' and args.formulation == 'exact':

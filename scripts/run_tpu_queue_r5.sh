@@ -33,10 +33,15 @@ echo "=== F1 study (BASELINE config 5) ==="
 timeout 3000 python scripts/f1_study_main.py --n 64 --N 15 --solvers dgsqp \
   --out results/r5/f1_study_N15.json 2>&1 | tee logs/f1_study_r5.log | tail -3
 
-echo "=== dynamic-bicycle study ==="
+echo "=== dynamic-bicycle study: exact ==="
 timeout 3000 python scripts/monte_carlo_main.py --scenario dynamic --n 64 --N 15 \
   --formulation exact --solver dgsqp_v2 --out results/r5 --skip_existing \
   2>&1 | tee logs/dynamic_r5.log | tail -3
+
+echo "=== dynamic-bicycle study: approximate (PA) ==="
+timeout 3000 python scripts/monte_carlo_main.py --scenario dynamic --n 64 --N 15 \
+  --formulation approximate --solver dgsqp_v2 --out results/r5 --skip_existing \
+  2>&1 | tee logs/dynamic_approx_r5.log | tail -3
 
 echo "=== regularization sweep ==="
 timeout 6000 python scripts/regularization_study_main.py --m 64 --N 25 \
