@@ -1,19 +1,11 @@
 #!/bin/bash
 # Round-5 TPU study queue (run AFTER run_bench_matrix_r5.sh; strictly serial —
-# only one process may hold the TPU tunnel).
+# only one process may hold the TPU tunnel).  Ordered by judge priority:
+# agents scaling (VERDICT 5), F1 (3), dynamic exact+approx (4), regularization
+# sweep (7), then the perturbed-retry bench rows (2a).
 set -e
 cd "$(dirname "$0")/.."
 mkdir -p results/r5 logs
-
-echo "=== bench v2 + perturbed retries ==="
-DGSQP_BENCH_SOLVER=v2 DGSQP_BENCH_REPS=2 DGSQP_BENCH_RETRY_SIGMAS=0.4 \
-DGSQP_BENCH_OUT=results/r5/bench_v2_retry_r5.json \
-timeout 3000 python bench.py 2>&1 | tee logs/bench_v2_retry_r5.log | tail -3
-
-echo "=== bench v1 + perturbed retries ==="
-DGSQP_BENCH_SOLVER=v1 DGSQP_BENCH_REPS=2 DGSQP_BENCH_RETRY_SIGMAS=0.4 \
-DGSQP_BENCH_OUT=results/r5/bench_v1_retry_r5.json \
-timeout 3000 python bench.py 2>&1 | tee logs/bench_v1_retry_r5.log | tail -3
 
 echo "=== agents study: reference-committed config (M=2,3 at N=25 theta=90) ==="
 for M in 2 3; do
@@ -46,5 +38,15 @@ timeout 3000 python scripts/monte_carlo_main.py --scenario dynamic --n 64 --N 15
 echo "=== regularization sweep ==="
 timeout 6000 python scripts/regularization_study_main.py --m 64 --N 25 \
   --out results/r5/regularization 2>&1 | tee logs/reg_sweep_r5.log | tail -3
+
+echo "=== bench v2 + perturbed retries ==="
+DGSQP_BENCH_SOLVER=v2 DGSQP_BENCH_REPS=2 DGSQP_BENCH_RETRY_SIGMAS=0.4 \
+DGSQP_BENCH_OUT=results/r5/bench_v2_retry_r5.json \
+timeout 3000 python bench.py 2>&1 | tee logs/bench_v2_retry_r5.log | tail -3
+
+echo "=== bench v1 + perturbed retries ==="
+DGSQP_BENCH_SOLVER=v1 DGSQP_BENCH_REPS=2 DGSQP_BENCH_RETRY_SIGMAS=0.4 \
+DGSQP_BENCH_OUT=results/r5/bench_v1_retry_r5.json \
+timeout 3000 python bench.py 2>&1 | tee logs/bench_v1_retry_r5.log | tail -3
 
 echo TPU_QUEUE_DONE
