@@ -26,6 +26,18 @@ def test_f1_track_segment_and_raceline():
     assert -rw - 0.1 <= ey <= lw + 0.1
 
 
+def test_f1_study_e2e_trimmed():
+    """DEFAULT-TIER F1 end-to-end: one tiny approximate game (N=3, 1 sample) on
+    the Austin segment solves conv_abs.  Measured ~2 min cold-cache on a 4-core
+    CPU host (the N=5 variants below stay behind DGSQP_RUN_SLOW at ~10 min);
+    this keeps a standing convergence proof for the F1 path in every run."""
+    out = run_f1_study(N=3, num_samples=1, seed=0,
+                       params=f1_solver_params(3, sqp_iters=40))
+    assert out['total'] == 1
+    assert out['converged'] == 1, out['status_counts']
+    assert np.isfinite(out['u_sol']).all()
+
+
 @pytest.mark.skipif(not __import__('os').environ.get('DGSQP_RUN_SLOW'),
                     reason='dynamic-bicycle warm-start rollout compiles minutes on CPU; '
                            'set DGSQP_RUN_SLOW=1 to include')
