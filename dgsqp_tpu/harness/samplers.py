@@ -47,8 +47,10 @@ def sample_duel_initial_conditions(scenario, num_samples: int, seed: int = 0,
 
     xs, us, vrs, lrs = [], [], [], []
     need = num_samples
+    # fixed candidate batch (see sample_agents_initial_conditions: variable B
+    # re-compiles the warm-start rollout every round)
+    B = max(2 * num_samples, 8)
     for _ in range(max_rounds):
-        B = max(2 * need, 8)
         ego_s = np.maximum(0.1, rng.random(B) * first_seg_len)
         ego_ey = rng.random(B) * hw * 2 - hw
         ego_v = rng.random(B) + 2
@@ -106,8 +108,12 @@ def sample_agents_initial_conditions(scenario, num_samples: int, seed: int = 0,
 
     xs, us, vrs, lrs = [], [], [], []
     need = num_samples
+    # fixed candidate batch: a need-proportional B re-jits the vmapped warm-start
+    # rollout with a fresh shape every round — one multi-second compile per round
+    # (a network round trip each through the axon tunnel), which dominated sampler
+    # wall-clock at the M>=3 / obs_r=0.4 acceptance rates
+    B = max(8 * num_samples, 64)
     for _ in range(max_rounds):
-        B = max(4 * need, 8)
         s = np.maximum(0.1, rng.random((B, M)) * first_seg_len)
         ey = rng.random((B, M)) * hw * 2 - hw
         v = rng.random((B, M)) + 2

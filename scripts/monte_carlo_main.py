@@ -97,6 +97,13 @@ def main():
         # always ran f64 CPython/CasADi
         jax.config.update('jax_enable_x64', True)
     jax.config.update('jax_default_matmul_precision', 'highest')
+    # setup computation (samplers, PID warm starts, dual warm starts) stays on host
+    # CPU — under the axon tunnel every eager op is a network round trip; only the
+    # sharded batch solve is explicitly placed on the accelerator (run_mc_study)
+    try:
+        jax.config.update('jax_default_device', jax.devices('cpu')[0])
+    except Exception:
+        pass
     # persistent compile cache: the oracle programs (hybrid MCP, ALGAMES) cost minutes
     # of XLA time per shape — cache them across study invocations like bench.py does
     cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR',

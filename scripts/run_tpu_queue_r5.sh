@@ -50,3 +50,21 @@ DGSQP_BENCH_OUT=results/r5/bench_v1_retry_r5.json \
 timeout 3000 python bench.py 2>&1 | tee logs/bench_v1_retry_r5.log | tail -3
 
 echo TPU_QUEUE_DONE
+
+echo "=== globalization ablation (VERDICT 7 / reference DGSQP_monte_carlo_ablation.py) ==="
+for CFG in "stat_l1 armijo" "stat_l1 max" "sum_obj_l1 armijo"; do
+  set -- $CFG
+  timeout 2500 python scripts/monte_carlo_main.py --scenario chicane --solver dgsqp_v2 \
+    --merit_function $1 --merit_decrease_condition $2 --n 64 --N 25 \
+    --out results/r5/ablation --skip_existing 2>&1 | tee logs/ablation_$1_$2.log | tail -3
+done
+timeout 2500 python scripts/monte_carlo_main.py --scenario chicane --solver dgsqp_v2 \
+  --no_nms --n 64 --N 25 --out results/r5/ablation --skip_existing \
+  2>&1 | tee logs/ablation_nonms.log | tail -3
+echo ABLATION_DONE
+
+echo "=== agents M=3 N=25 retry (sampler fixed) ==="
+timeout 3000 python scripts/monte_carlo_main.py --scenario agents --agents 3 \
+  --n 64 --N 25 --theta 90 --out results/r5 --skip_existing \
+  2>&1 | tee logs/agents_M3_N25.log | tail -3
+echo M3_RETRY_DONE
