@@ -143,7 +143,8 @@ def main():
     elif args.scenario == 'merge':
         scenario = build_merge_scenario(N=min(args.N, 20))
     else:
-        scenario = build_agents_scenario(M=args.agents, N=args.N)
+        scenario = build_agents_scenario(M=args.agents, N=args.N,
+                                         theta_deg=args.theta)
 
     reg_tag = '_ref' if args.reference_faithful else ''
     if args.reg_init is not None or args.reg_decay is not None:

@@ -51,19 +51,28 @@ def main():
 
     oracles = {}
     x0_np = np.asarray(x0)
+    covered = np.zeros(args.n, bool)
     for p in args.oracles:
         with open(p, 'rb') as f:
             o = pickle.load(f)
-        assert o.num_samples >= args.n, p
-        assert np.allclose(o.x0[:args.n], x0_np, atol=1e-5), \
-            f'{p}: oracle ICs do not match the bench sampler stream'
-        oracles[o.solver] = np.isin(o.statuses[:args.n], (CONV_ABS,))
+        # align oracle samples to bench rows by initial-condition matching (the
+        # two runs share the seeded sampler stream but may diverge in the
+        # rejection tail when the candidate-batch schedule differs)
+        d = np.linalg.norm(x0_np[:, None, :] - o.x0[None, :, :], axis=-1)
+        j = d.argmin(axis=1)
+        hit = d[np.arange(args.n), j] < 1e-5
+        conv = np.zeros(args.n, bool)
+        conv[hit] = np.isin(o.statuses[j[hit]], (CONV_ABS,))
+        covered |= hit
+        print(f'# {p}: aligned {int(hit.sum())}/{args.n} bench samples',
+              file=sys.stderr)
+        oracles[o.solver] = conv
 
     oracle_any = np.zeros(args.n, bool)
     for conv in oracles.values():
         oracle_any |= conv
 
-    fail = st_bench != CONV_ABS
+    fail = (st_bench != CONV_ABS) & covered
     rows = []
     for i in np.where(fail)[0]:
         rows.append(dict(sample=int(i),
@@ -71,7 +80,8 @@ def main():
                          **{k: bool(v[i]) for k, v in oracles.items()}))
     report = dict(
         n=args.n,
-        bench_conv_abs=int((~fail).sum()),
+        aligned=int(covered.sum()),
+        bench_conv_abs=int((st_bench == CONV_ABS).sum()),
         bench_failures=int(fail.sum()),
         failures_oracle_solved=int((fail & oracle_any).sum()),
         failures_oracle_also_fails=int((fail & ~oracle_any).sum()),
