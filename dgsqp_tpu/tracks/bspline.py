@@ -189,7 +189,10 @@ class BSplineTrack:
         psi_t = self.tangent_angle(s)
         nx, ny = jnp.cos(psi_t + jnp.pi / 2), jnp.sin(psi_t + jnp.pi / 2)
         ey = (x - self.x(s)) * nx + (y - self.y(s)) * ny
-        epsi = jnp.angle(jnp.exp(1j * (psi - psi_t)))
+        # wrap to (-pi, pi] with real arithmetic — complex exp/angle is
+        # UNIMPLEMENTED on the TPU backend
+        d = psi - psi_t
+        epsi = jnp.arctan2(jnp.sin(d), jnp.cos(d))
         return jnp.stack([s, ey, epsi], axis=-1)
 
     # ----------------------------------------------------- host-side adapters

@@ -38,6 +38,13 @@ def main():
     if os.environ.get('DGSQP_X64') == '1':
         jax.config.update('jax_enable_x64', True)
     jax.config.update('jax_default_matmul_precision', 'highest')
+    # setup computation stays on host CPU; only the batched solve should touch
+    # the accelerator (every eager op is a tunnel round trip — and the sampler's
+    # global_to_local previously tripped TPU-unsupported ops when run eagerly)
+    try:
+        jax.config.update('jax_default_device', jax.devices('cpu')[0])
+    except Exception:
+        pass
     jax.config.update('jax_compilation_cache_dir',
                       str(Path(__file__).resolve().parent.parent / '.jax_cache'))
 

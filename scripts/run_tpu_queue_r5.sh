@@ -68,3 +68,8 @@ timeout 3000 python scripts/monte_carlo_main.py --scenario agents --agents 3 \
   --n 64 --N 25 --theta 90 --out results/r5 --skip_existing \
   2>&1 | tee logs/agents_M3_N25.log | tail -3
 echo M3_RETRY_DONE
+
+echo "=== F1 study retry (bspline angle fix) ==="
+timeout 3000 python scripts/f1_study_main.py --n 64 --N 15 --solvers dgsqp \
+  --out results/r5/f1_study_N15.json 2>&1 | tee logs/f1_study_r5b.log | tail -3
+echo F1_RETRY_DONE
