@@ -50,7 +50,9 @@ from dgsqp_tpu.harness.bench_setup import build_bench_batch, build_bench_solver
 sc, solver = build_bench_solver(horizon=N)
 mesh = Mesh(np.array(jax.devices()), axis_names=('games',))
 sharding = NamedSharding(mesh, PartitionSpec('games'))
-u0, l0, x0, up = build_bench_batch(sc, solver, B, seed=0)
+# replicated per-device workload (see tier_single rep semantics)
+u0, l0, x0, up = build_bench_batch(sc, solver, B // 4, seed=0)
+u0, l0, x0, up = (jnp.concatenate([a] * 4) for a in (u0, l0, x0, up))
 def put(a):
     a = np.asarray(a)
     local = a[pid * (B // 2):(pid + 1) * (B // 2)]
@@ -72,9 +74,14 @@ def _taskset(cpus: str):
     return ['taskset', '-c', cpus] if cpus else []
 
 
-def tier_single(n_devices: int, B: int, N: int, cpus: str):
-    """One process, ``n_devices`` virtual CPU devices, pinned to ``cpus``."""
-    code = f'''
+def tier_single(n_devices: int, B: int, N: int, cpus: str, rep: int = 1):
+    """One process, ``n_devices`` virtual CPU devices, pinned to ``cpus``.
+
+    ``rep>1`` replicates a ``B/rep``-game draw ``rep`` times so every device
+    solves the IDENTICAL per-device workload (weak scaling without changing the
+    instance mix — a larger fresh draw adds stragglers the 1-device tier never
+    sees and measures instance hardness instead of scaling overhead)."""
+    code = '''
 import os, json, time
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={n_devices}'
 import numpy as np
@@ -85,7 +92,9 @@ from dgsqp_tpu.harness.bench_setup import build_bench_batch, build_bench_solver
 from dgsqp_tpu.parallel.mesh import games_mesh
 from jax.sharding import NamedSharding, PartitionSpec
 sc, solver = build_bench_solver(horizon={N})
-u0, l0, x0, up = build_bench_batch(sc, solver, {B}, seed=0)
+u0, l0, x0, up = build_bench_batch(sc, solver, {B_draw}, seed=0)
+if {rep} > 1:
+    u0, l0, x0, up = (jnp.concatenate([a] * {rep}) for a in (u0, l0, x0, up))
 mesh = games_mesh()
 sharding = NamedSharding(mesh, PartitionSpec('games'))
 u0, l0, x0, up = (jax.device_put(a, sharding) for a in (u0, l0, x0, up))
@@ -96,8 +105,9 @@ def run():
 res = run()
 t0 = time.time(); res = run(); dur = time.time() - t0
 conv = float(jnp.mean((res.status == 1).astype(jnp.float32)))
-print(json.dumps({{'dur_s': dur, 'games_per_s': {B} / dur, 'conv': conv}}), flush=True)
+print(json.dumps({'dur_s': dur, 'games_per_s': {B} / dur, 'conv': conv}), flush=True)
 '''
+    code = code.replace('{B_draw}', str(B // rep)).replace('{rep}', str(rep)).replace('{B}', str(B)).replace('{N}', str(N)).replace('{n_devices}', str(n_devices))
     out = subprocess.run(_taskset(cpus) + [sys.executable, '-c', code],
                          capture_output=True, text=True, cwd=ROOT, timeout=2400)
     if out.returncode != 0:
@@ -144,7 +154,7 @@ def main():
     t0 = time.time()
     report['tiers']['1_device_1core'] = tier_single(1, B1, args.N, '0')
     print(f"# a) 1 dev x 1 core: {report['tiers']['1_device_1core']}", flush=True)
-    report['tiers']['4_devices_4cores'] = tier_single(4, B4, args.N, '0-3')
+    report['tiers']['4_devices_4cores'] = tier_single(4, B4, args.N, '0-3', rep=4)
     print(f"# b) 4 dev x 4 cores: {report['tiers']['4_devices_4cores']}", flush=True)
     report['tiers']['2proc_x_2dev'] = tier_two_process(B4, args.N, 2, ['0-1', '2-3'])
     print(f"# c) 2 proc x 2 dev x 2 cores: {report['tiers']['2proc_x_2dev']}", flush=True)
